@@ -1,0 +1,93 @@
+"""Frontier candidate selection: the round's scheduling query.
+
+All native DataFrame ops — zero Python on this path. Implements, per
+SURVEY.md §2:
+
+* latest-attempt resolution over the append-only frontier (retry rows
+  T4 supersede their predecessors),
+* the scale-critical anti-join against ``url_seen``/``dead``
+  (D2/J1, reference ``scheduler.py:59-75``),
+* robots + politeness-budget gating at *selection* time — never by
+  sleeping in UDFs (T3, reference ``news.py:134-135``; north_rule),
+* priority top-k per host with a **two-phase, salt-local pre-prune**
+  so one hot host cannot skew a single window partition
+  (L4, reference ``news.py:151-163``; SURVEY.md §4 skew row).
+
+Scale notes (10^10 frontier): the frontier is append-only and
+bucket-partitioned by ``url_hash``; the latest-attempt window and the
+seen anti-join both shuffle on ``url_sha``/``url_hash``, so bucketing
+the three state tables identically makes these joins co-partitioned
+(no shuffle of the big sides on a real cluster). The per-host top-k
+never sees the full frontier: the salt-local phase-1 prune cuts each
+host to ``budget`` rows per salt bucket before the global per-host
+window. The bloom pre-filter (crawl.bloom) drops >99% of seen
+candidates before the exact anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# salt fan-out for the hot-host pre-prune; at cluster scale set to
+# ~(executors * cores) / n_active_hosts, floor 8
+N_SALTS = 8
+
+
+def latest_attempt(frontier: DataFrame) -> DataFrame:
+    """One row per URL: the highest-attempt frontier row (retries supersede)."""
+    w = Window.partitionBy("url_sha").orderBy(F.col("attempt").desc())
+    return (
+        frontier.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def pending(frontier: DataFrame, url_seen: DataFrame, dead: DataFrame,
+            round_no: int) -> DataFrame:
+    """URLs eligible this round: latest attempt, not seen, not dead, not gated."""
+    return (
+        latest_attempt(frontier)
+        .filter(F.col("not_before") <= F.lit(round_no))
+        .join(url_seen.select("url_sha"), "url_sha", "left_anti")
+        .join(dead.select("url_sha"), "url_sha", "left_anti")
+    )
+
+
+def select_candidates(frontier: DataFrame, url_seen: DataFrame, dead: DataFrame,
+                      hosts: DataFrame, round_no: int) -> DataFrame:
+    """The round's fetch set with per-host sequence numbers.
+
+    Returns pending columns + ``seq`` (1-based per-host fetch order:
+    priority desc, url asc — the oracle's total order) + host columns.
+    """
+    cand = pending(frontier, url_seen, dead, round_no)
+
+    # robots + budget gate; hosts is small → broadcast (J-host in SURVEY §2.9)
+    gated = (
+        cand.join(F.broadcast(hosts), "host", "inner")
+        .filter(~F.exists("disallow", lambda d: F.col("path").startswith(d)))
+    )
+
+    # phase 1: salt-local top-k — a hot host's rows split across N_SALTS
+    # partitions, each pruned to `budget` before the global window sees them
+    salted = gated.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(N_SALTS)))
+    w_local = Window.partitionBy("host", "salt").orderBy(
+        F.col("priority").desc(), F.col("url").asc()
+    )
+    pruned = (
+        salted.withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= F.col("budget"))
+        .drop("_lrn")
+    )
+
+    # phase 2: exact per-host top-budget over ≤ budget*N_SALTS rows per host
+    w_host = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("url").asc()
+    )
+    return (
+        pruned.withColumn("seq", F.row_number().over(w_host))
+        .filter(F.col("seq") <= F.col("budget"))
+        .drop("disallow")
+    )
