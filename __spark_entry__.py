@@ -1,38 +1,679 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator family from
+SURVEY.md §2 (or a training-data pipeline op), expressed through the
+engine's public modules; ``oracle_sql()`` holds the DuckDB-checkable
+ANSI equivalent. Aggregates are rounded on BOTH sides where floating
+point could differ in the last ulp.
+
+Span-sequence / crawl-order / URL-seen invariants (the BASELINE
+metrics) are verified against the pure-Python reference oracle in
+``tests/test_crawl_e2e.py`` — a *stronger* check than SQL — so the
+crawl-state operators appear here as rows-only entries (minhash/
+simhash rely on xxhash64, which DuckDB lacks).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_crawler_spark.functions import (
+    defang_reverse,
+    extract_iocs_long,
+    fingerprint,
+    quality_score,
+    token_count,
+    url_host,
+    url_path,
+    url_query,
+    valid_ipv4,
+)
+from news_crawler_spark.functions.textstats import punct_ratio
+from news_crawler_spark.operators import (
+    cosine_topk_bruteforce,
+    exact_dedup,
+    first_wins_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+    top_k_global,
+    top_k_per_group,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: a frontier-selection + content-analytics DAG over sf0.001
+# ---------------------------------------------------------------------------
+
+def _synth_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frontier synthesized from the documents table:
+    one URL per doc, host = source, priority = hash-derived."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://"), F.col("source"), F.lit(".test/d"),
+                   F.col("doc_id").cast("string"))
+    return docs.select(
+        url.alias("url"),
+        F.col("source").alias("host"),
+        (F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100000)).cast("double")
+         / F.lit(100000.0)).alias("priority"),
+        F.col("doc_id"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: frontier top-k selection (L4) + seen anti-join (D2/J1)
+    + sha keys (P9) over sf0.001 — the round-selection core of the
+    crawl engine on the driver's smoke tables."""
+    sf_dir = "/root/testdata/sf0.001"
+    frontier = _synth_frontier(spark, sf_dir)
+    seen = frontier.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select("url")
+    pending = frontier.join(seen, "url", "left_anti")
+    selected = top_k_per_group(
+        pending, ["host"], [F.col("priority").desc(), F.col("url").asc()], k=5,
+        rank_col="seq",
+    )
+    return selected.select(
+        "host", "seq", "url",
+        F.sha2(F.col("url"), 256).alias("url_sha"),
+        F.round("priority", 5).alias("priority"),
+    ).orderBy("host", "seq")
+
+
+# ---------------------------------------------------------------------------
+# gate-checked queries
+# ---------------------------------------------------------------------------
+
+def q_f1_date_range_filter(spark, sf_dir):
+    """F1/F2: date-window predicate (reference news.py:141-142)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01"))
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                F.col("o_orderdate").cast("date").alias("o_date"))
+    )
+
+
+def q_f3_keyword_filter(spark, sf_dir):
+    """F3: keyword any-match via rlike (reference news.py:144-149)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.lower(F.col("text")).rlike("(query|join|window)"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def q_f4_exclusion_filter(spark, sf_dir):
+    """F4: domain/segment exclusion set + containment (asec.py:107-120)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(~F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .filter(~F.col("c_name").contains("00"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_f6_validity_filter(spark, sf_dir):
+    """F5/F6: non-empty / non-null validity predicates."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter((F.trim(F.col("event_type")) != "") & F.col("value").isNotNull()
+                & (F.col("value") >= 0))
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+
+
+def q_p5_defang_normalize(spark, sf_dir):
+    """P5: defang reversal [.]→. [:]→: (main.py:38-42) on synthesized
+    defanged strings."""
+    df = _t(spark, sf_dir, "documents")
+    defanged = F.concat(F.col("source"), F.lit("[.]test[:]8080/"), F.col("lang"))
+    return df.select("doc_id", defang_reverse(defanged).alias("normalized"))
+
+
+def q_p6_ip_validation(spark, sf_dir):
+    """P6: dotted-quad construction + validity filter (suricata.py:113-123).
+    Octets >255 occur and must be rejected."""
+    ev = _t(spark, sf_dir, "events")
+    cand = F.concat_ws(
+        ".",
+        F.pmod(F.col("event_id"), F.lit(300)).cast("string"),
+        F.pmod(F.col("user_id"), F.lit(300)).cast("string"),
+        F.pmod(F.floor("value").cast("long"), F.lit(300)).cast("string"),
+        F.lit("7"),
+    )
+    return (
+        ev.select(F.col("event_id"), cand.alias("ip"))
+        .filter(valid_ipv4(F.col("ip")))
+    )
+
+
+def q_p7_url_split(spark, sf_dir):
+    """P7: host/path/query split (suricata_url.py:85-88) on synthesized URLs."""
+    df = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://"), F.col("source"), F.lit(".test/docs/"),
+                   F.col("lang"), F.lit("?id="), F.col("doc_id").cast("string"))
+    return df.select(
+        "doc_id",
+        url_host(url).alias("host"),
+        url_path(url).alias("path"),
+        url_query(url).alias("query"),
+    )
+
+
+def q_p9_sha2_key(spark, sf_dir):
+    """P9: SHA-256 dedup key over concat (scheduler.py:52-53)."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.sha2(F.concat(F.col("c_name"), F.lit("|"), F.col("c_custkey").cast("string")), 256)
+        .alias("key_hash"),
+    )
+
+
+def q_x1_ioc_extract_defanged(spark, sf_dir):
+    """X1/X2/P5/D3: regex IOC findall + defang + set-dedup (asec.py:44-83)
+    over synthesized defanged text with per-row variance."""
+    ev = _t(spark, sf_dir, "events")
+    text = F.concat(
+        F.lit("beacon to 10[.]0[.]"),
+        F.pmod(F.col("event_id"), F.lit(256)).cast("string"),
+        F.lit("[.]"),
+        F.pmod(F.col("user_id"), F.lit(256)).cast("string"),
+        F.lit(" via hxxps[:]//c2-"),
+        F.col("event_type"),
+        F.lit(".example/x plus junk 999.999.999.999x"),
+    )
+    docs = ev.select(F.col("event_id").cast("string").alias("doc_id"), text.alias("text"))
+    return extract_iocs_long(docs).select("doc_id", "kind", "value")
+
+
+def q_x2_word_extract_explode(spark, sf_dir):
+    """X2: findall + explode + distinct over real text."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z]{8,}"), 0))
+                .alias("word"))
+        .dropDuplicates(["doc_id", "word"])
+    )
+
+
+def q_d1_first_wins_dedup(spark, sf_dir):
+    """D1: order-stable first-wins dedup (news.py:154-163)."""
+    ev = _t(spark, sf_dir, "events")
+    return first_wins_dedup(
+        ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+    ).select("user_id", "event_type", "event_id", F.round("value", 2).alias("value"))
+
+
+def q_l4_topk_per_group(spark, sf_dir):
+    """L4: priority top-k per group (the politeness-budget selection shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return top_k_per_group(
+        ev, ["user_id"], [F.col("value").desc(), F.col("event_id").asc()], k=3
+    ).select("user_id", "event_id", F.round("value", 2).alias("value"), "rnk")
+
+
+def q_frontier_topk_selection(spark, sf_dir):
+    """The crawl round-selection core (L4+J1): synthesized frontier,
+    seen-set anti-join, per-host budget top-k with stable tiebreaks."""
+    frontier = _synth_frontier(spark, sf_dir)
+    seen = frontier.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select("url")
+    pending = frontier.join(seen, "url", "left_anti")
+    return top_k_per_group(
+        pending, ["host"], [F.col("priority").desc(), F.col("url").asc()], k=5,
+        rank_col="seq",
+    ).select("host", "seq", "url", F.round("priority", 5).alias("priority"))
+
+
+def q_j1_antijoin(spark, sf_dir):
+    """J1/D2: left anti join — the URL-seen membership shape."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders.select(F.col("o_custkey").alias("c_custkey")),
+                     "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+def q_j2_semijoin(spark, sf_dir):
+    """J2: left semi join — keyword/membership match."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big.select(F.col("o_custkey").alias("c_custkey")),
+                     "c_custkey", "left_semi").select("c_custkey", "c_acctbal")
+
+
+def q_u2_union_distinct(spark, sf_dir):
+    """U1/U2: union + distinct (multi-feed merge, news.py:132-138)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).distinct()
+
+
+def q_u3_except(spark, sf_dir):
+    """U3: difference (suricata_url.py:76 novel-only filter)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.subtract(b)
+
+
+def q_l1_sort_limit(spark, sf_dir):
+    """L1/L2: global top-k = TakeOrderedAndProject, stable tiebreak."""
+    return top_k_global(
+        _t(spark, sf_dir, "orders"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 100,
+    ).select("o_orderkey", "o_totalprice")
+
+
+def q_a1_counts_per_kind(spark, sf_dir):
+    """A1: count per kind (gmail.py:120-130) + distinct users."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_a2_group_metrics(spark, sf_dir):
+    """A2: per-group merge metrics (asec.py:134-148 analog)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+    )
+
+
+def q_agg_rollup(spark, sf_dir):
+    """Rollup aggregate (Catalyst-provided; SURVEY §2.8 'absent' row)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n"))
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: the headline scan→filter→agg pipeline."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_w_running_sum(spark, sf_dir):
+    """Windowed running aggregate per user (stateful analytics shape)."""
+    w = (Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id",
+                F.round(F.sum("value").over(w), 2).alias("running_value"))
+    )
+
+
+def q_dt_trunc_month(spark, sf_dir):
+    """Date bucketing (T1 daily-window analog at month grain)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON field extraction from the events props column."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").alias("k_val"))
+        .groupBy("k_val").agg(F.count("*").alias("n"))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via normalized-text fingerprint (training-data op)."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark, sf_dir):
+    """Token count + punctuation ratio + quality score per doc."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint (rolling-hash analog, exact-dedup key)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp"))
+
+
+def q_jaccard_token_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (token grain, bounded subset)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.5)
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over embeddings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(queries, emb, k=5).select(
+        "query_id", "neighbor_id", "sim", "rnk")
+
+
+# -- rows-only entries (no ANSI-SQL equivalent: xxhash64 / pandas UDFs) -----
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (xxhash64-based — no SQL oracle;
+    verified against planted dups in tests/test_operators.py)."""
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash banding candidates (pandas-UDF hash — rows-only check)."""
+    return simhash_buckets(_t(spark, sf_dir, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "f1_date_range_filter": q_f1_date_range_filter,
+        "f3_keyword_filter": q_f3_keyword_filter,
+        "f4_exclusion_filter": q_f4_exclusion_filter,
+        "f6_validity_filter": q_f6_validity_filter,
+        "p5_defang_normalize": q_p5_defang_normalize,
+        "p6_ip_validation": q_p6_ip_validation,
+        "p7_url_split": q_p7_url_split,
+        "p9_sha2_key": q_p9_sha2_key,
+        "x1_ioc_extract_defanged": q_x1_ioc_extract_defanged,
+        "x2_word_extract_explode": q_x2_word_extract_explode,
+        "d1_first_wins_dedup": q_d1_first_wins_dedup,
+        "l4_topk_per_group": q_l4_topk_per_group,
+        "frontier_topk_selection": q_frontier_topk_selection,
+        "j1_antijoin": q_j1_antijoin,
+        "j2_semijoin": q_j2_semijoin,
+        "u2_union_distinct": q_u2_union_distinct,
+        "u3_except": q_u3_except,
+        "l1_sort_limit": q_l1_sort_limit,
+        "a1_counts_per_kind": q_a1_counts_per_kind,
+        "a2_group_metrics": q_a2_group_metrics,
+        "agg_rollup": q_agg_rollup,
+        "tpch_q1": q_tpch_q1,
+        "w_running_sum": q_w_running_sum,
+        "dt_trunc_month": q_dt_trunc_month,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "fingerprint": q_fingerprint,
+        "jaccard_token_pairs": q_jaccard_token_pairs,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "f1_date_range_filter": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(o_orderdate AS DATE) AS o_date
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+        """,
+        "f3_keyword_filter": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE regexp_matches(lower(text), '(query|join|window)')
+        """,
+        "f4_exclusion_filter": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_mktsegment NOT IN ('BUILDING','AUTOMOBILE')
+              AND c_name NOT LIKE '%00%'
+        """,
+        "f6_validity_filter": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE trim(event_type) <> '' AND value IS NOT NULL AND value >= 0
+            GROUP BY event_type
+        """,
+        "p5_defang_normalize": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(source || '[.]test[:]8080/' || lang,
+                                    '\\[\\.\\]', '.', 'g'),
+                     '\\[:\\]', ':', 'g') AS normalized
+            FROM documents
+        """,
+        "p6_ip_validation": """
+            SELECT event_id,
+                   (event_id % 300) || '.' || (user_id % 300) || '.' ||
+                   (CAST(floor(value) AS BIGINT) % 300) || '.7' AS ip
+            FROM events
+            WHERE regexp_matches(
+                (event_id % 300) || '.' || (user_id % 300) || '.' ||
+                (CAST(floor(value) AS BIGINT) % 300) || '.7',
+                '^(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$')
+        """,
+        "p7_url_split": """
+            WITH u AS (
+              SELECT doc_id,
+                     'http://' || source || '.test/docs/' || lang || '?id=' || doc_id AS url
+              FROM documents)
+            SELECT doc_id,
+                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                   coalesce(nullif(regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), ''), '/') AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1) AS query
+            FROM u
+        """,
+        "p9_sha2_key": """
+            SELECT c_custkey, sha256(c_name || '|' || CAST(c_custkey AS VARCHAR)) AS key_hash
+            FROM customer
+        """,
+        "x1_ioc_extract_defanged": """
+            WITH t AS (
+              SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                     'beacon to 10[.]0[.]' || (event_id % 256) || '[.]' || (user_id % 256) ||
+                     ' via hxxps[:]//c2-' || event_type ||
+                     '.example/x plus junk 999.999.999.999x' AS text
+              FROM events),
+            extracted AS (
+              SELECT doc_id, 'ip' AS kind,
+                     unnest(regexp_extract_all(text, '\\b(?:\\d{1,3}(?:\\.|\\[\\.\\])){3}\\d{1,3}\\b')) AS raw
+              FROM t
+              UNION ALL
+              SELECT doc_id, 'hash' AS kind,
+                     unnest(regexp_extract_all(text, '\\b[a-fA-F0-9]{64}\\b|\\b[a-fA-F0-9]{40}\\b|\\b[a-fA-F0-9]{32}\\b')) AS raw
+              FROM t
+              UNION ALL
+              SELECT doc_id, 'url' AS kind,
+                     unnest(regexp_extract_all(text, '\\bh(?:xx|tt)ps?(?::|\\[:\\])//[^\\s"''<>]+')) AS raw
+              FROM t)
+            SELECT DISTINCT doc_id, kind,
+                   regexp_replace(regexp_replace(regexp_replace(raw,
+                       '\\[\\.\\]', '.', 'g'), '\\[:\\]', ':', 'g'),
+                       '\\bhxxp', 'http', 'g') AS value
+            FROM extracted
+        """,
+        "x2_word_extract_explode": """
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_extract_all(text, '[a-z]{8,}')) AS word
+            FROM documents
+        """,
+        "d1_first_wins_dedup": """
+            SELECT user_id, event_type, event_id, round(value, 2) AS value
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) = 1
+        """,
+        "l4_topk_per_group": """
+            SELECT user_id, event_id, round(value, 2) AS value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rnk
+            FROM events
+            QUALIFY rnk <= 3
+        """,
+        "frontier_topk_selection": """
+            WITH frontier AS (
+              SELECT 'http://' || source || '.test/d' || doc_id AS url,
+                     source AS host,
+                     CAST((doc_id * 2654435761) % 100000 AS DOUBLE) / 100000.0 AS priority,
+                     doc_id
+              FROM documents),
+            pending AS (
+              SELECT * FROM frontier
+              WHERE url NOT IN (SELECT url FROM frontier WHERE doc_id % 7 = 0))
+            SELECT host,
+                   row_number() OVER (PARTITION BY host
+                                      ORDER BY priority DESC, url) AS seq,
+                   url, round(priority, 5) AS priority
+            FROM pending
+            QUALIFY seq <= 5
+        """,
+        "j1_antijoin": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "j2_semijoin": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        """,
+        "u2_union_distinct": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'signup'
+        """,
+        "u3_except": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "l1_sort_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "a1_counts_per_kind": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "a2_group_metrics": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "agg_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "w_running_sum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 2) AS running_value
+            FROM events
+        """,
+        "dt_trunc_month": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1
+        """,
+        "json_extract": """
+            SELECT json_extract_string(props, '$.k') AS k_val, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   min(doc_id) AS keep_id, count(*) AS group_size
+            FROM documents GROUP BY 1
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   round(CASE WHEN length(text) > 0
+                        THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                             / CAST(length(text) AS DOUBLE)
+                        ELSE 0.0 END, 4) AS punct_ratio,
+                   round((
+                     least(length(text) / 500.0, 1.0)
+                     + greatest(0.0, 1.0 - 4.0 * (CASE WHEN length(text) > 0
+                        THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                             / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+                     + least(5.0 * (len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> x IN ('the','and','of','to','a','in','is','it','for','on')))
+                          / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE)), 1.0)
+                   ) / 3.0, 4) AS quality
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "jaccard_token_pairs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS t
+              FROM documents WHERE doc_id < 300),
+            sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM tok a JOIN tok b USING (t)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5
+        """,
+        "sim_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                           6) AS sim
+              FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM scored QUALIFY rnk <= 5
+        """,
+        # dedup_minhash_lsh / dedup_simhash: intentionally omitted —
+        # xxhash64/blake2b signatures have no DuckDB equivalent; the
+        # driver records rows-only checks and tests/test_operators.py
+        # verifies planted near-dup pairs.
+    }

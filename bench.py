@@ -1,0 +1,193 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+{"metric": "...", "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two parts:
+ 1. headline analytic queries at $SPARK_GRAFT_SF_DIR (default sf0.1),
+    forced end-to-end with the noop sink (no collect; nothing pruned),
+ 2. crawl-frontier throughput (URLs scheduled+fetched/sec) on the
+    synthetic site graph at two parallelism levels — local[N/4] vs
+    local[N] — standing in for N vs 4N executor clusters per
+    BASELINE.md; reports both plus scaling efficiency.
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_SKIP_SCALING=1 to skip part 2 (fast iteration).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from news_crawler_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "agg_rollup",
+    "d1_first_wins_dedup",
+    "l4_topk_per_group",
+    "frontier_topk_selection",
+    "j1_antijoin",
+    "w_running_sum",
+    "x2_word_extract_explode",
+    "dedup_exact",
+    "fingerprint",
+    "text_stats",
+    "sim_cosine_topk",
+    "dedup_minhash_lsh",
+]
+
+
+def _force(df) -> None:
+    """Force full execution of every column (noop sink — nothing pruned)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_query_suite(spark) -> dict[str, float]:
+    out: dict[str, float] = {}
+    qs = entry_mod.queries()
+    # warm-up: JVM/codegen/parquet-footer caches, so q1 isn't billed for them
+    _force(spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000))
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def crawl_throughput(cpus: int, n_rounds: int = 3, n_hosts: int = 200,
+                     seeds_per_host: int = 3000) -> dict:
+    """URLs scheduled+fetched/sec over a multi-round synthetic crawl.
+
+    The frontier is pre-populated with hash-generated URLs (one per
+    (host, page) pair) so every round runs at full politeness budget —
+    the saturated-steady-state regime that matters at 10^10 scale,
+    not the exponential warm-up from a handful of seeds.
+    """
+    from news_crawler_spark.crawl import CrawlEngine, SyntheticFetcher
+    from news_crawler_spark.fixtures import SiteConfig, host_rows
+    from news_crawler_spark.schemas import HOSTS
+
+    spark = get_spark(f"bench-crawl-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    cfg = SiteConfig(seed=42, n_hosts=n_hosts, base_pages=seeds_per_host * 2,
+                     hot_factor=4, budgets=(2000, 2600, 2200, 2800))
+    state_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    state = tempfile.mkdtemp(prefix=f"bench_crawl_{cpus}_", dir=state_root)
+    try:
+        hosts = spark.createDataFrame(host_rows(cfg), HOSTS)
+        # parse_html=True: the fetch UDF parses real rendered HTML — the
+        # realistic per-URL CPU cost, not a spans short-circuit
+        eng = CrawlEngine(spark, state, hosts,
+                          SyntheticFetcher(cfg, parse_html=True), seed=cfg.seed)
+        seeds = spark.range(n_hosts * seeds_per_host).select(
+            F.format_string(
+                "http://h%04d.test/p%d",
+                (F.col("id") % n_hosts).cast("int"),
+                (F.col("id") / n_hosts).cast("int"),
+            ).alias("url"),
+            (F.pmod(F.col("id") * F.lit(2654435761), F.lit(100000)).cast("double")
+             / F.lit(100000.0)).alias("priority"),
+        )
+        eng.init(seeds)
+        eng.run_round()  # warm-up round: JIT/codegen/Arrow workers warm
+        t0 = time.perf_counter()
+        stats = eng.run(n_rounds)
+        wall = time.perf_counter() - t0
+        scheduled = sum(s["scheduled"] for s in stats)
+        return {
+            "cpus": cpus,
+            "rounds": n_rounds,
+            "urls": scheduled,
+            "sec": round(wall, 3),
+            "urls_per_sec": round(scheduled / wall, 1),
+        }
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        spark.stop()
+
+
+def _steal_pct(a: list[int], b: list[int]) -> float:
+    d = [y - x for x, y in zip(a, b)]
+    return round(d[7] / max(1, sum(d)) * 100, 2)
+
+
+def _cpu_snap() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def _crawl_subprocess(cpus: int, reps: int) -> dict:
+    """Run one crawl level in fresh processes (JVM heap/GC state from a
+    prior SparkContext in the same process skews the measurement) and
+    keep the best of ``reps`` runs: this VM shows transient host-steal
+    spikes of 2-3x wall clock, so min-of-N approximates the
+    uncontended machine. Steal%% during each run is recorded."""
+    import subprocess
+
+    best, samples = None, []
+    for _ in range(reps):
+        s0 = _cpu_snap()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl", str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        run = json.loads(out.stdout.strip().splitlines()[-1])
+        run["steal_pct"] = _steal_pct(s0, _cpu_snap())
+        samples.append({"sec": run["sec"], "steal_pct": run["steal_pct"]})
+        if best is None or run["sec"] < best["sec"]:
+            best = run
+    best["samples"] = samples
+    return best
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--crawl":
+        print(json.dumps(crawl_throughput(int(sys.argv[2]))))
+        return
+
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    queries = run_query_suite(spark)
+    spark.stop()
+
+    result = {
+        "metric": "suite_runtime",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+        # N vs 4N pairs: 2→8 (below the SMT knee, the clean cluster
+        # analog) and 8→32 (vCPU count, hardware ceiling ~0.8 on this
+        # SMT box — see BENCH/BASELINE.md)
+        n2 = _crawl_subprocess(2, reps)
+        n8 = _crawl_subprocess(8, reps)
+        n32 = _crawl_subprocess(CPUS, reps) if CPUS != 8 else n8
+        def eff(lo, hi):
+            return round((hi["urls_per_sec"] / lo["urls_per_sec"])
+                         / (hi["cpus"] / lo["cpus"]), 3)
+        result["crawl"] = {
+            "levels": {"n2": n2, "n8": n8, f"n{CPUS}": n32},
+            "scaling_efficiency_2_to_8": eff(n2, n8),
+            "scaling_efficiency_8_to_32": eff(n8, n32),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

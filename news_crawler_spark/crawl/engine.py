@@ -2,13 +2,23 @@
 
 One round = one declarative DataFrame DAG::
 
-    frontier scan → latest-attempt → anti-join url_seen/dead
+    frontier scan → latest-attempt → anti-join resolved (seen ∪ dead)
       → robots + budget gate (broadcast hosts)
       → salt-local + per-host priority top-k          (selection)
       → (host, salt) repartition → fetch/parse UDF    (the only Python)
       → link extraction (native) → first-wins anti-join vs frontier
-      → state appends: url_seen, dead, documents, crawl_log, frontier
+      → state appends: resolved, documents, frontier
       → lineage row                                    (commit marker)
+
+State tables (all append-only snapshot tables):
+
+* ``frontier``  — every URL ever discovered, plus retry rows (T4);
+* ``resolved``  — one row per scheduled fetch with its disposition
+  (``ok`` → the URL-seen set D2, ``dead`` → 404/exhausted, ``retry``);
+  url_seen / dead / crawl_log are *views* of this one table, so a
+  round commits three appends total, not five;
+* ``documents`` — parsed span sequences of fetched-ok pages;
+* ``lineage``   — the commit marker (counters + snapshot ids + digest).
 
 Exactly-once per URL: the lineage row for round r is appended *after*
 every state append; resume pins each table to the snapshot ids of the
@@ -20,14 +30,14 @@ upgrade over the reference's mark-before-send at-most-once,
 The reference's daily-cron loop (``scheduler.py:92-111``) maps to the
 driver calling :meth:`run_round` per round; batch rounds, not
 Structured Streaming, because frontier feedback (this round's links
-are next round's input) is a cyclic dataflow that streaming cannot
-express.
+are next round's input) is a cyclic dataflow streaming cannot express.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 import hashlib
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,11 +51,11 @@ RETRYABLE = (503, -1)
 
 
 def url_priority_col(seed: int, url_col: str = "url") -> F.Column:
-    """Native equivalent of fixtures.sitegen.url_priority: the first
-    8 bytes of sha256(f"{seed}|{url}|prio") as u64, mod 1e5, / 1e5."""
+    """Native twin of fixtures.sitegen.url_priority: first 15 hex chars
+    (60 bits, long-safe) of sha256(f"{seed}|{url}|prio"), mod 1e5, / 1e5."""
     digest = F.sha2(F.concat_ws("|", F.lit(str(seed)), F.col(url_col), F.lit("prio")), 256)
-    u64 = F.conv(F.substring(digest, 1, 16), 16, 10).cast("decimal(20,0)")
-    return (F.pmod(u64, F.lit(100000)).cast("double") / F.lit(100000.0))
+    u60 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    return (F.pmod(u60, F.lit(100000)).cast("double") / F.lit(100000.0))
 
 
 class CrawlEngine:
@@ -60,12 +70,32 @@ class CrawlEngine:
         self.n_salts = n_salts
         st = lambda name, schema: SnapshotTable(spark, state_dir, name, schema)
         self.frontier = st("frontier", schemas.FRONTIER)
-        self.url_seen = st("url_seen", schemas.URL_SEEN)
-        self.dead = st("dead", schemas.URL_SEEN)
+        self.resolved = st("resolved", schemas.RESOLVED)
         self.documents = st("documents", schemas.DOCUMENTS)
-        self.crawl_log = st("crawl_log", schemas.EXPECTED_CRAWL)
         self.lineage = st("lineage", schemas.LINEAGE)
         self.next_round = 0
+        self._seen_xor = 0
+        self._seen_n = 0
+        self.last_timings: dict[str, float] = {}
+
+    # -- views over resolved ----------------------------------------------
+    def url_seen_df(self) -> DataFrame:
+        """The URL-seen set (D2): fetched-ok URLs."""
+        return (
+            self.resolved.read().filter(F.col("disposition") == "ok")
+            .select("url_hash", "url_sha", "url", F.col("round").alias("seen_round"))
+        )
+
+    def dead_df(self) -> DataFrame:
+        """404s and retry-exhausted URLs (never refetched)."""
+        return (
+            self.resolved.read().filter(F.col("disposition") == "dead")
+            .select("url_hash", "url_sha", "url", F.col("round").alias("seen_round"))
+        )
+
+    def crawl_log_df(self) -> DataFrame:
+        """(round, host, seq, url) — the crawl-order invariant."""
+        return self.resolved.read().select("round", "host", "seq", "url")
 
     # -- lifecycle --------------------------------------------------------
     def init(self, seeds: DataFrame) -> None:
@@ -92,10 +122,8 @@ class CrawlEngine:
                         errors: int, new_urls: int, bloom_digest: str) -> None:
         row = [(round_no, scheduled, ok, errors, new_urls,
                 self.frontier.current_snapshot(),
-                self.url_seen.current_snapshot(),
-                self.dead.current_snapshot(),
+                self.resolved.current_snapshot(),
                 self.documents.current_snapshot(),
-                self.crawl_log.current_snapshot(),
                 bloom_digest,
                 _dt.datetime.now(_dt.timezone.utc).isoformat())]
         self.lineage.append(self.spark.createDataFrame(row, schemas.LINEAGE))
@@ -112,44 +140,59 @@ class CrawlEngine:
             raise RuntimeError("resume() before init(): no lineage rows")
         last = rows[0]
         self.frontier.rollback(last.frontier_snapshot)
-        self.url_seen.rollback(last.url_seen_snapshot)
-        self.dead.rollback(last.dead_snapshot)
+        self.resolved.rollback(last.resolved_snapshot)
         self.documents.rollback(last.documents_snapshot)
-        self.crawl_log.rollback(last.crawl_log_snapshot)
+        self._rebuild_seen_digest()
         self.next_round = last["round"] + 1
         return self.next_round
 
     # -- the round DAG ----------------------------------------------------
     def run_round(self, round_no: int | None = None) -> dict:
         r = self.next_round if round_no is None else round_no
+        t0 = time.perf_counter()
         selected = frontier_ops.select_candidates(
-            self.frontier.read(), self.url_seen.read(), self.dead.read(),
-            self.hosts, r,
+            self.frontier.read(), self.resolved.read(), self.hosts, r,
         )
         fetched = fetch_round(selected, self.fetcher, n_salts=self.n_salts)
         fetched.persist()
+        t = {"_select_build": round(time.perf_counter() - t0, 3)}
         try:
-            scheduled = fetched.count()
-            if scheduled == 0:
-                self.next_round = r + 1
-                return {"round": r, "scheduled": 0, "ok": 0, "errors": 0, "new_urls": 0}
-
-            ok = fetched.filter(F.col("status") == 200)
+            # one job materializes the cache AND produces every round
+            # counter + the seen-digest delta (no per-metric rescans)
+            t1 = time.perf_counter()
             exhausted = F.col("status").isin(list(RETRYABLE)) & (
                 F.col("attempt") + 1 >= self.max_attempts
             )
-            dead_rows = fetched.filter((F.col("status") == 404) | exhausted)
-            retries = fetched.filter(
-                F.col("status").isin(list(RETRYABLE)) & (F.col("attempt") + 1 < self.max_attempts)
-            )
+            is_dead = (F.col("status") == 404) | exhausted
+            agg = fetched.agg(
+                F.count("*").alias("n"),
+                F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
+                F.count(F.when(is_dead, 1)).alias("n_dead"),
+                F.coalesce(
+                    F.expr("bit_xor(case when status = 200 then url_hash end)"),
+                    F.lit(0),
+                ).alias("ok_xor"),
+            ).collect()[0]
+            scheduled, n_ok = agg["n"], agg["n_ok"]
+            t["fetch_agg"] = round(time.perf_counter() - t1, 3)
+            if scheduled == 0:
+                self.next_round = r + 1
+                self.last_timings = t
+                return {"round": r, "scheduled": 0, "ok": 0, "errors": 0, "new_urls": 0}
 
-            seen_cols = ["url_hash", "url_sha", "url"]
-            n_ok = ok.count()
-            self.url_seen.append(
-                ok.select(*seen_cols, F.lit(r).alias("seen_round")))
+            disposition = (
+                F.when(F.col("status") == 200, "ok")
+                .when(is_dead, "dead")
+                .otherwise("retry")
+            )
+            resolved_rows = fetched.select(
+                "url_hash", "url_sha", "url", "host", "seq",
+                F.lit(r).alias("round"), "attempt", "status",
+                disposition.alias("disposition"),
+            )
+            self._seen_xor ^= int(agg["ok_xor"])
+            self._seen_n += n_ok
             n_err = scheduled - n_ok
-            self.dead.append(
-                dead_rows.select(*seen_cols, F.lit(r).alias("seen_round")))
 
             # first-wins (D2): candidates never re-enter the frontier —
             # every previously discovered URL already has a frontier row
@@ -164,37 +207,64 @@ class CrawlEngine:
                     F.lit(0).alias("not_before"),
                 )
             )
-            retry_rows = retries.select(
+            retry_rows = fetched.filter(
+                F.col("status").isin(list(RETRYABLE))
+                & (F.col("attempt") + 1 < self.max_attempts)
+            ).select(
                 "url", "url_hash", "url_sha", "host", "path", "priority",
                 "discovered_round",
                 (F.col("attempt") + 1).alias("attempt"),
                 (F.lit(r + 1) + F.col("attempt")).cast("int").alias("not_before"),
             )
-            appended = candidates.unionByName(retry_rows)
-            appended.persist()
-            n_new = candidates.count()
-            self.frontier.append(appended)
-            appended.unpersist()
+            doc_rows = (
+                fetched.filter(F.col("status") == 200)
+                .select(F.col("url").alias("doc_id"), "spans")
+            )
 
-            self.documents.append(
-                ok.select(F.col("url").alias("doc_id"), "spans"))
-            self.crawl_log.append(
-                fetched.select(F.lit(r).alias("round"), "host", "seq", "url"))
+            # the three appends are independent (all read only the cached
+            # fetch + already-committed snapshots) → submit concurrently;
+            # each append is itself atomic, and the lineage row below is
+            # the round's commit marker either way
+            t1 = time.perf_counter()
+            from concurrent.futures import ThreadPoolExecutor
 
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(self.resolved.append, resolved_rows),
+                    pool.submit(self.frontier.append,
+                                candidates.unionByName(retry_rows)),
+                    pool.submit(self.documents.append, doc_rows),
+                ]
+                for f in futs:
+                    f.result()
+            t["state_appends"] = round(time.perf_counter() - t1, 3)
+
+            t1 = time.perf_counter()
+            n_retries = scheduled - n_ok - agg["n_dead"]
+            n_new = self.frontier.read_snapshot_delta().count() - n_retries
             self._commit_lineage(r, scheduled, n_ok, n_err, n_new,
                                  self._seen_digest())
+            t["lineage"] = round(time.perf_counter() - t1, 3)
             self.next_round = r + 1
+            self.last_timings = t
             return {"round": r, "scheduled": scheduled, "ok": n_ok,
                     "errors": n_err, "new_urls": n_new}
         finally:
             fetched.unpersist()
 
     def _seen_digest(self) -> str:
-        """Cheap order-insensitive digest of url_seen for lineage audit."""
-        row = self.url_seen.read().agg(
-            F.expr("bit_xor(url_hash)").alias("s"), F.count("*").alias("n")
+        """Order-insensitive digest of url_seen for lineage audit,
+        maintained incrementally (xor of url_hash + count) so no
+        full-table rescan per round; resume() rebuilds it once."""
+        return hashlib.sha256(
+            f"{self._seen_xor}|{self._seen_n}".encode()).hexdigest()[:16]
+
+    def _rebuild_seen_digest(self) -> None:
+        row = self.url_seen_df().agg(
+            F.coalesce(F.expr("bit_xor(url_hash)"), F.lit(0)).alias("s"),
+            F.count("*").alias("n"),
         ).collect()[0]
-        return hashlib.sha256(f"{row['s']}|{row['n']}".encode()).hexdigest()[:16]
+        self._seen_xor, self._seen_n = int(row["s"]), int(row["n"])
 
     def run(self, n_rounds: int) -> list[dict]:
         return [self.run_round() for _ in range(n_rounds)]

@@ -38,14 +38,31 @@ class Fetcher(Protocol):
 
 
 class SyntheticFetcher:
-    """Deterministic fixture fetcher: the synthetic web."""
+    """Deterministic fixture fetcher: the synthetic web.
 
-    def __init__(self, cfg: SiteConfig, simulate_latency: bool = False):
+    With ``parse_html=True`` the page is rendered to real HTML and
+    parsed back through :func:`html_to_spans` — the span sequence is
+    identical (round-trip verified vs the oracle in the e2e tests) but
+    the fetch path exercises the production parser at a realistic
+    per-page CPU cost, which is what the throughput bench measures.
+    """
+
+    def __init__(self, cfg: SiteConfig, simulate_latency: bool = False,
+                 parse_html: bool = False):
         self.cfg = cfg
         self.simulate_latency = simulate_latency
+        self.parse_html = parse_html
 
     def fetch(self, url: str) -> dict:
-        page = synth_page(self.cfg, url)
+        if self.parse_html:
+            from news_crawler_spark.fixtures.sitegen import synth_html
+            from news_crawler_spark.functions.htmlspans import html_to_spans
+
+            page, html = synth_html(self.cfg, url)
+            if page["status"] == 200:
+                page = {**page, "spans": html_to_spans(html)}
+        else:
+            page = synth_page(self.cfg, url)
         if self.simulate_latency:
             time.sleep(page["fetch_ms"] / 1000.0)
         return page
@@ -86,9 +103,15 @@ def fetch_round(selected: DataFrame, fetcher: Fetcher, n_salts: int = 8,
     """
     passthrough = ["url", "url_hash", "url_sha", "host", "path", "priority",
                    "discovered_round", "attempt", "seq"]
+    # explicit partition count: the fetch UDF is CPU/latency-bound, not
+    # byte-bound, so AQE's size-based partition coalescing must NOT fold
+    # it onto a couple of workers (measured: coalesced to 2 tasks and
+    # serialized the whole fetch). An explicit numPartitions is exempt
+    # from AQE coalescing.
+    n_parts = selected.sparkSession.sparkContext.defaultParallelism
     inp = (
         selected.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(n_salts)))
-        .repartition(F.col("host"), F.col("salt"))
+        .repartition(n_parts, F.col("host"), F.col("salt"))
         .select(*passthrough, "crawl_delay")
     )
 

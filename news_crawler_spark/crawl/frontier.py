@@ -34,35 +34,33 @@ from pyspark.sql import functions as F
 N_SALTS = 8
 
 
-def latest_attempt(frontier: DataFrame) -> DataFrame:
-    """One row per URL: the highest-attempt frontier row (retries supersede)."""
-    w = Window.partitionBy("url_sha").orderBy(F.col("attempt").desc())
-    return (
-        frontier.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+def pending(frontier: DataFrame, resolved: DataFrame, round_no: int) -> DataFrame:
+    """Frontier rows eligible this round.
 
-
-def pending(frontier: DataFrame, url_seen: DataFrame, dead: DataFrame,
-            round_no: int) -> DataFrame:
-    """URLs eligible this round: latest attempt, not seen, not dead, not gated."""
+    ``(url_sha, attempt)`` is a *scheduling slot*: discovery dedup
+    guarantees one frontier row per slot, and every scheduled slot
+    gets exactly one ``resolved`` row (ok/dead/retry — a retry appends
+    the next slot's frontier row). So "pending" is a single anti-join
+    on the slot key — no window, no full-frontier sort. At 10^10 both
+    tables are bucket-partitioned by ``url_hash``, making this the
+    co-partitioned join the bloom shards pre-filter (SURVEY.md §7.2 M4).
+    """
     return (
-        latest_attempt(frontier)
+        frontier
         .filter(F.col("not_before") <= F.lit(round_no))
-        .join(url_seen.select("url_sha"), "url_sha", "left_anti")
-        .join(dead.select("url_sha"), "url_sha", "left_anti")
+        .join(resolved.select("url_sha", "attempt"),
+              ["url_sha", "attempt"], "left_anti")
     )
 
 
-def select_candidates(frontier: DataFrame, url_seen: DataFrame, dead: DataFrame,
+def select_candidates(frontier: DataFrame, resolved: DataFrame,
                       hosts: DataFrame, round_no: int) -> DataFrame:
     """The round's fetch set with per-host sequence numbers.
 
     Returns pending columns + ``seq`` (1-based per-host fetch order:
     priority desc, url asc — the oracle's total order) + host columns.
     """
-    cand = pending(frontier, url_seen, dead, round_no)
+    cand = pending(frontier, resolved, round_no)
 
     # robots + budget gate; hosts is small → broadcast (J-host in SURVEY §2.9)
     gated = (

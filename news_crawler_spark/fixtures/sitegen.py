@@ -76,8 +76,15 @@ def _h(cfg_seed: int, url: str, what: str) -> int:
 
 
 def url_priority(cfg_seed: int, url: str) -> float:
-    """Freshness-ish priority of a discovered URL in [0, 1)."""
-    return (_h(cfg_seed, url, "prio") % 100_000) / 100_000.0
+    """Freshness-ish priority of a discovered URL in [0, 1).
+
+    Domain is the first 15 hex chars (60 bits) of the sha256 so the
+    Spark twin (crawl.engine.url_priority_col) stays in long
+    arithmetic — a decimal(20,0) path for the full 64 bits measurably
+    drags at millions of candidate rows per round.
+    """
+    d = hashlib.sha256(f"{cfg_seed}|{url}|prio".encode()).hexdigest()
+    return (int(d[:15], 16) % 100_000) / 100_000.0
 
 
 def synth_page(cfg: SiteConfig, url: str) -> dict:
@@ -162,6 +169,36 @@ def synth_page(cfg: SiteConfig, url: str) -> dict:
 
     return {"status": status, "fetch_ms": fetch_ms, "title": title,
             "published": published, "spans": spans}
+
+
+_HTML_KIND_RENDER = {
+    "title": lambda t, m: f"<title>{t}</title>",
+    "date": lambda t, m: f'<time datetime="{t}"></time>',
+    "text": lambda t, m: f"<p>{t}</p>",
+    "link": lambda t, m: f'<a href="{m}">{t}</a>',
+    "media": lambda t, m: f'<img src="{m}" alt="{t}">',
+}
+
+
+def synth_html(cfg: SiteConfig, url: str) -> tuple[dict, str]:
+    """Render the synthetic page as real HTML.
+
+    Returns (page_dict, html). ``html_to_spans(html)`` reconstructs the
+    page's span sequence exactly (round-trip verified in the e2e
+    tests), so the fetch path can exercise the real parser at a
+    realistic per-page cost instead of short-circuiting to spans.
+    """
+    page = synth_page(cfg, url)
+    body = "\n  ".join(
+        _HTML_KIND_RENDER[k](t, m) for (k, t, m, _off) in page["spans"]
+    )
+    html = (
+        "<!DOCTYPE html>\n<html>\n<head>\n"
+        '<meta charset="utf-8">\n'
+        f'<!-- synthetic fixture page for {url} -->\n'
+        "</head>\n<body>\n  " + body + "\n</body>\n</html>\n"
+    )
+    return page, html
 
 
 def resolve_ref(page_url: str, ref: str) -> str | None:

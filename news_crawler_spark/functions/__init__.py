@@ -1,0 +1,31 @@
+"""Column-level building blocks — all native Spark SQL expressions
+(whole-stage-codegen'd), no UDFs (SURVEY.md §2.11/§2.13)."""
+
+from news_crawler_spark.functions.ioc import (
+    IOC_PATTERNS,
+    defang_reverse,
+    extract_iocs_long,
+    valid_ipv4,
+)
+from news_crawler_spark.functions.urlops import url_host, url_origin, url_path, url_query
+from news_crawler_spark.functions.textstats import (
+    fingerprint,
+    lang_guess,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "IOC_PATTERNS",
+    "defang_reverse",
+    "extract_iocs_long",
+    "valid_ipv4",
+    "url_host",
+    "url_origin",
+    "url_path",
+    "url_query",
+    "fingerprint",
+    "lang_guess",
+    "quality_score",
+    "token_count",
+]

@@ -1,0 +1,37 @@
+"""URL splitting as native expressions (P7/P10, reference
+``suricata_url.py:85-88``: urlparse → hostname/path/query).
+
+``parse_url`` is built-in, but the DuckDB oracle lacks it, so these
+are defined with regexes that both engines evaluate identically —
+and regexes are codegen'd just the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+QUERY_RE = r"\?([^#]*)"
+
+
+def _c(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+def url_host(col) -> F.Column:
+    return F.regexp_extract(_c(col), HOST_RE, 1)
+
+
+def url_path(col) -> F.Column:
+    """Path component; '/' when absent (matches frontier convention)."""
+    return F.coalesce(F.nullif(F.regexp_extract(_c(col), PATH_RE, 1), F.lit("")), F.lit("/"))
+
+
+def url_query(col) -> F.Column:
+    return F.regexp_extract(_c(col), QUERY_RE, 1)
+
+
+def url_origin(col) -> F.Column:
+    """scheme://host — the join base for relative refs (P10)."""
+    return F.regexp_extract(_c(col), r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)

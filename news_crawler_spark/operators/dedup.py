@@ -1,0 +1,232 @@
+"""Deduplication operators, exact → fuzzy, built for corpus scale.
+
+Exact/first-wins mirror the reference (D1 ``news.py:154-163``,
+D2 ``scheduler.py:42-89``, D3/D4 set semantics); MinHash-LSH, SimHash
+and n-gram Jaccard are the training-data near-dup family the engine
+adds on top (a crawler that feeds a training pipeline dedups what it
+fetched).
+
+Scale shape: everything reduces to groupBy/join on a *derived key*
+(fingerprint, band hash, simhash band) so Spark shuffles each doc a
+constant number of times — never all-pairs. Only `ngram_jaccard_pairs`
+is quadratic per shingle-group and is meant for verification of LSH
+candidates, not full-corpus sweeps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from news_crawler_spark.functions.textstats import fingerprint
+
+
+def first_wins_dedup(df: DataFrame, key_cols: list[str],
+                     order_cols: list) -> DataFrame:
+    """D1: order-stable first-wins dedup (reference news.py:154-163).
+
+    ``dropDuplicates`` after a sort is NOT order-stable in a parallel
+    engine — this is the deterministic window-rank form with explicit
+    tiebreaks (SURVEY.md §7.4).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: one keeper per
+    duplicate group (lowest id), plus the group size."""
+    with_fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    return with_fp.groupBy("fp").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("group_size"),
+    )
+
+
+def _token_shingles(text_col: str, n: int) -> F.Column:
+    """Distinct n-gram shingles over whitespace tokens, all native:
+    slice a token array at every start offset."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # a doc shorter than n tokens contributes its whole text as one shingle
+    return F.array_distinct(
+        F.when(n_sh > 0, shingles).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# double-hashing domain: h1,h2 in [0, 2^31) so h1 + j*h2 stays well
+# inside long range (no ANSI overflow) for any practical num_hashes
+_MH_DOMAIN = 1 << 31
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 32,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per doc via double hashing:
+    sig[j] = min over shingles of (h1(s) + j*h2(s)).
+
+    Shape chosen for scale AND to defeat CollapseProject: shingles are
+    *exploded* to rows (a Generate barrier — the expensive shingle
+    construction runs exactly once; an inline transform-over-j lambda
+    would recompute it num_hashes times, a measured 10x slowdown),
+    each shingle is hashed twice, and the signature is a groupBy
+    aggregation — partial min runs map-side, so the shuffle carries
+    only num_hashes longs per doc regardless of text size.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(_token_shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    hashed = tok.select(
+        id_col,
+        F.pmod(F.xxhash64(F.lit(1), "_sh"), F.lit(_MH_DOMAIN)).alias("_h1"),
+        (F.pmod(F.xxhash64(F.lit(2), "_sh"), F.lit(_MH_DOMAIN)) + 1).alias("_h2"),
+    )
+    mins = hashed.groupBy(id_col).agg(*[
+        F.min(F.col("_h1") + F.lit(j) * F.col("_h2")).alias(f"_m{j}")
+        for j in range(num_hashes)
+    ])
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 32,
+                           bands: int = 8, shingle_n: int = 3) -> DataFrame:
+    """MinHash + LSH banding → candidate near-dup pairs (id_a < id_b).
+
+    shingle → minhash → band-hash → bucket self-join. Docs land in
+    ``bands`` buckets each, so the shuffle is O(docs × bands); only
+    same-bucket docs are paired. Jaccard-verify candidates with
+    :func:`ngram_jaccard_pairs` when exactness matters.
+    """
+    rows_per_band = num_hashes // bands
+    # sig arrives as a bound attribute (separate projection), so the
+    # per-band slices don't recompute the signature
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band = (
+        sigs.select(
+            id_col,
+            F.posexplode(
+                F.array(*[
+                    F.xxhash64(F.concat_ws(
+                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)))
+                    for b in range(bands)
+                ])
+            ).alias("band_id", "band_hash"),
+        )
+    )
+    a = band.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = band.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    explode → self-join on shingle → |∩| per pair → |∪| via sizes.
+    Quadratic within a shingle bucket — use after LSH candidate
+    generation at scale, or on bounded subsets.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(_token_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_udf(num_bits: int = 64):
+    """Vectorized SimHash over whitespace tokens (Arrow-batched numpy;
+    64 per-bit accumulators per doc is branch-heavy for SQL exprs, so
+    this is a designated pandas-UDF island)."""
+
+    @F.pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            acc = np.zeros(num_bits, dtype=np.int64)
+            for tok in toks:
+                h = np.int64(np.uint64(int.from_bytes(
+                    __import__("hashlib").blake2b(tok.encode(), digest_size=8).digest(), "big")))
+                bits = (np.uint64(h) >> np.arange(num_bits, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            sign_bits = (acc > 0).astype(np.uint64)
+            val = np.uint64(0)
+            for b in range(num_bits):
+                val |= sign_bits[b] << np.uint64(b)
+            out[i] = np.int64(val)
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_buckets(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", band_bits: int = 16) -> DataFrame:
+    """SimHash near-dup candidates: docs sharing any 16-bit band of
+    their 64-bit simhash (Hamming-distance blocking)."""
+    sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        id_col, "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )

@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched UDFs.
+
+The decode step is a STUB (image/audio libraries are not in this
+container): ``decode_media`` raises NotImplementedError unless
+``fake=True``, in which case a clearly-marked deterministic fake
+derives metadata from the bytes — the Spark-side plumbing (schema,
+batching, partition shape) is real and tested either way. Swap
+``_fake_decode`` for PIL/ffmpeg calls on a cluster with the libs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, payload_col: str, doc_id_col: str = "doc_id",
+                  media_type: str = "image/png") -> DataFrame:
+    """Normalize a payload column into (doc_id, media_type, body:binary)."""
+    return df.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.lit(media_type).alias("media_type"),
+        F.col(payload_col).cast("binary").alias("body"),
+    )
+
+
+def _fake_decode(body: bytes, media_type: str) -> tuple[int | None, int | None, int | None]:
+    """DETERMINISTIC FAKE decoder (container has no image/audio libs):
+    pretends to parse dimensions/duration from a content hash."""
+    h = hashlib.sha256(body).digest()
+    if media_type.startswith("image/"):
+        return 64 + h[0] % 1920, 64 + h[1] % 1080, None
+    if media_type.startswith(("audio/", "video/")):
+        return None, None, 1000 + int.from_bytes(h[2:5], "big") % 600_000
+    return None, None, None
+
+
+def decode_media(df: DataFrame, fake: bool = False,
+                 batch_partitions: int | None = None) -> DataFrame:
+    """Decode binary media → typed metadata via mapInPandas.
+
+    ``df`` must have (doc_id, media_type, body:binary). The real
+    decode path needs PIL/ffmpeg — absent here, hence the stub gate.
+    Repartition first when bodies are large so one Arrow batch fits
+    executor memory (at 100 TB: size maxRecordsPerBatch × avg body
+    to « executor heap).
+    """
+    inp = df.repartition(batch_partitions) if batch_partitions else df
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires image/audio libs not present in "
+                    "this container; pass fake=True for the deterministic stub"
+                )
+            rows = {k: [] for k in
+                    ("doc_id", "media_type", "n_bytes", "sha256",
+                     "width", "height", "duration_ms")}
+            for r in pdf.itertuples(index=False):
+                body = bytes(r.body) if r.body is not None else b""
+                w, h, d = _fake_decode(body, r.media_type)
+                rows["doc_id"].append(r.doc_id)
+                rows["media_type"].append(r.media_type)
+                rows["n_bytes"].append(len(body))
+                rows["sha256"].append(hashlib.sha256(body).hexdigest())
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_ms"].append(d)
+            yield pd.DataFrame(rows)
+
+    return inp.mapInPandas(run, schema=MEDIA_META)

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k, all native (`zip_with` dot
+product inside codegen — no Python). Scale path: random-hyperplane
+LSH bucketing so each query only scores its bucket's candidates —
+the shuffle becomes O(n) instead of O(n·q).
+
+At 100 TB the corpus side is the big one: queries are broadcast,
+candidates never shuffle for the brute-force scorer; LSH adds one
+hash-key shuffle. An IVF variant would replace the hyperplane hash
+with a k-means assignment — same join shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_col(a: str | F.Column, b: str | F.Column) -> F.Column:
+    """Cosine similarity of two array<float/double> columns, natively:
+    dot/(|a||b|) via zip_with + aggregate (left-fold in codegen)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(ca, cb) / (F.sqrt(dot(ca, ca)) * F.sqrt(dot(cb, cb)))
+
+
+def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           round_to: int = 6) -> DataFrame:
+    """Exact top-k neighbors per query (query_id, neighbor_id, sim, rnk).
+
+    Queries are broadcast (small side); the corpus streams through
+    without a shuffle; per-query ranking is a window over k·|q| rows.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine_col("qv", "cv"), round_to).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def hyperplane_signature_udf(dim: int, n_planes: int, seed: int = 42):
+    """Arrow-batched signer: sign-bit bucket id from seeded random
+    hyperplanes. The planes matrix is generated inside the UDF from
+    the seed (cheap, avoids a broadcast pickle per task)."""
+
+    @F.pandas_udf("int")
+    def sign_bucket(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return sign_bucket
+
+
+def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = 8, n_tables: int = 4,
+                 round_to: int = 6) -> DataFrame:
+    """Approximate NN: multi-table hyperplane LSH bucket join + exact
+    cosine rerank within buckets. Recall grows with n_tables; the
+    bucket equi-join replaces the cross join."""
+    parts = []
+    for t in range(n_tables):
+        signer = hyperplane_signature_udf(dim, n_planes, seed=42 + 1000 * t)
+        qb = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            signer(F.col(vec_col)).alias("bucket"))
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            signer(F.col(vec_col)).alias("bucket"))
+        parts.append(qb.join(cb, "bucket").drop("bucket"))
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    scored = (
+        cands.filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id",
+                F.round(cosine_col("qv", "cv"), round_to).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             dim: int = 64, n_planes: int = 10,
+                             n_tables: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking."""
+    pairs = lsh_ann_topk(df, df, k=20, dim=dim, id_col=id_col, vec_col=vec_col,
+                         n_planes=n_planes, n_tables=n_tables)
+    return (
+        pairs.filter((F.col("sim") >= threshold)
+                     & (F.col("query_id") < F.col("neighbor_id")))
+        .select(F.col("query_id").alias("id_a"),
+                F.col("neighbor_id").alias("id_b"), "sim")
+        .dropDuplicates(["id_a", "id_b"])
+    )

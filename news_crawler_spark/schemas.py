@@ -51,6 +51,23 @@ URL_SEEN = T.StructType(
     ]
 )
 
+# one row per scheduled fetch: its disposition drives every downstream
+# view (url_seen = ok rows, dead = dead rows, crawl_log = all rows) —
+# a single append + a single anti-join read per round instead of three
+RESOLVED = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url_sha", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("attempt", T.IntegerType(), False),  # consumed slot
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("disposition", T.StringType(), False),  # ok|dead|retry
+    ]
+)
+
 HOSTS = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
@@ -87,10 +104,8 @@ LINEAGE = T.StructType(
         T.StructField("errors", T.LongType(), False),
         T.StructField("new_urls", T.LongType(), False),
         T.StructField("frontier_snapshot", T.IntegerType(), False),
-        T.StructField("url_seen_snapshot", T.IntegerType(), False),
-        T.StructField("dead_snapshot", T.IntegerType(), False),
+        T.StructField("resolved_snapshot", T.IntegerType(), False),
         T.StructField("documents_snapshot", T.IntegerType(), False),
-        T.StructField("crawl_log_snapshot", T.IntegerType(), False),
         T.StructField("bloom_digest", T.StringType(), False),
         T.StructField("committed_at", T.StringType(), False),
     ]

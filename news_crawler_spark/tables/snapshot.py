@@ -128,6 +128,19 @@ class SnapshotTable:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*dirs)
 
+    def read_snapshot_delta(self, snapshot_id: int | None = None) -> DataFrame:
+        """Only the rows added by a snapshot (default: current) —
+        the append's data dirs minus the parent's."""
+        sid = self.current_snapshot() if snapshot_id is None else snapshot_id
+        if sid < 0:
+            return self.spark.createDataFrame([], self.schema)
+        m = self._manifest(sid)
+        parent_dirs = set(self._manifest(m["parent"])["dirs"]) if m["parent"] >= 0 else set()
+        new_dirs = [d for d in m["dirs"] if d not in parent_dirs]
+        if not new_dirs:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*new_dirs)
+
     def rollback(self, snapshot_id: int) -> None:
         """Re-pin CURRENT to an earlier snapshot (resume path)."""
         if snapshot_id < 0:

@@ -24,8 +24,11 @@ N_ROUNDS = 4
 def crawl(spark, tmp_path_factory):
     state = str(tmp_path_factory.mktemp("crawl_state"))
     hosts = spark.createDataFrame(host_rows(CFG), HOSTS)
-    eng = CrawlEngine(spark, state, hosts, SyntheticFetcher(CFG), seed=CFG.seed,
-                      max_attempts=CFG.max_attempts)
+    # parse_html=True: fetch renders real HTML and reparses it with the
+    # production html_to_spans parser — the oracle match below therefore
+    # also proves the HTML→spans round-trip on every fetched page
+    eng = CrawlEngine(spark, state, hosts, SyntheticFetcher(CFG, parse_html=True),
+                      seed=CFG.seed, max_attempts=CFG.max_attempts)
     eng.init(spark.createDataFrame(seed_rows(CFG), "url string, priority double"))
     stats = eng.run(N_ROUNDS)
     oracle = CrawlOracle(CFG).run(N_ROUNDS)
@@ -42,20 +45,20 @@ def test_crawl_makes_progress(crawl):
 def test_crawl_order_matches_oracle(crawl):
     eng, oracle, _ = crawl
     got = sorted(
-        (r["round"], r.host, r.seq, r.url) for r in eng.crawl_log.read().collect()
+        (r["round"], r.host, r.seq, r.url) for r in eng.crawl_log_df().collect()
     )
     assert got == sorted(oracle.crawl_log)
 
 
 def test_url_seen_matches_oracle(crawl):
     eng, oracle, _ = crawl
-    got = {(r.url, r.seen_round) for r in eng.url_seen.read().collect()}
+    got = {(r.url, r.seen_round) for r in eng.url_seen_df().collect()}
     assert got == set(oracle.url_seen.items())
 
 
 def test_dead_set_matches_oracle(crawl):
     eng, oracle, _ = crawl
-    got = {(r.url, r.seen_round) for r in eng.dead.read().collect()}
+    got = {(r.url, r.seen_round) for r in eng.dead_df().collect()}
     assert got == set(oracle.dead.items())
 
 
@@ -76,7 +79,7 @@ def test_retries_happen(crawl):
 
     counts = Counter(u for (_, _, _, u) in oracle.crawl_log)
     assert any(c > 1 for c in counts.values()), "fixture produced no retries"
-    eng_counts = Counter(r.url for r in eng.crawl_log.read().collect())
+    eng_counts = Counter(r.url for r in eng.crawl_log_df().collect())
     assert eng_counts == counts
 
 

@@ -1,0 +1,218 @@
+"""Single-op unit tests: small DataFrame in → exact expected output
+(the test model of SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from news_crawler_spark.functions import (
+    defang_reverse,
+    extract_iocs_long,
+    lang_guess,
+    token_count,
+    url_host,
+    url_path,
+    url_query,
+    valid_ipv4,
+)
+from news_crawler_spark.functions.htmlspans import html_to_spans
+from news_crawler_spark.operators import (
+    cosine_topk_bruteforce,
+    document_links,
+    exact_dedup,
+    first_wins_dedup,
+    flatten_text,
+    lsh_ann_topk,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+    span_stats,
+)
+from news_crawler_spark.operators.multimodal import attach_binary, decode_media
+
+
+# ---------------------------------------------------------------- IOC / X1
+IOC_TEXT = (
+    "C2 at 185[.]220[.]101[.]5 and 10.0.0.7, payload "
+    "d41d8cd98f00b204e9800998ecf8427e dropped from "
+    "hxxps[:]//evil.example/a and https://ok.example/b?x=1"
+)
+
+
+def test_extract_iocs_long(spark):
+    df = spark.createDataFrame([("d1", IOC_TEXT)], "doc_id string, text string")
+    got = {(r.kind, r.value) for r in extract_iocs_long(df).collect()}
+    assert got == {
+        ("ip", "185.220.101.5"),
+        ("ip", "10.0.0.7"),
+        ("hash", "d41d8cd98f00b204e9800998ecf8427e"),
+        ("url", "https://evil.example/a"),
+        ("url", "https://ok.example/b?x=1"),
+    }
+
+
+def test_defang_and_ip_validity(spark):
+    df = spark.createDataFrame(
+        [("1[.]2[.]3[.]4",), ("999.1.1.1",), ("8.8.8.8",), ("not an ip",)], "v string"
+    )
+    got = df.select(
+        defang_reverse("v").alias("d"), valid_ipv4(defang_reverse("v")).alias("ok")
+    ).collect()
+    assert [(r.d, r.ok) for r in got] == [
+        ("1.2.3.4", True), ("999.1.1.1", False), ("8.8.8.8", True), ("not an ip", False),
+    ]
+
+
+def test_url_split(spark):
+    df = spark.createDataFrame([("https://a.example:8080/x/y?q=1&r=2#frag",)], "u string")
+    r = df.select(
+        url_host("u").alias("h"), url_path("u").alias("p"), url_query("u").alias("q")
+    ).collect()[0]
+    assert (r.h, r.p, r.q) == ("a.example:8080", "/x/y", "q=1&r=2")
+
+
+# ---------------------------------------------------------------- text stats
+def test_token_count_and_lang(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog sat on it for now ok", "en"),
+         ("보안 취약점 발견", "ko"),
+         ("qqq zzz xxx", "other")],
+        "text string, want string",
+    )
+    got = df.select("want", lang_guess("text").alias("lang"),
+                    token_count("text").alias("n")).collect()
+    for r in got:
+        assert r.lang == r.want
+    assert got[0].n == 11
+
+
+# ---------------------------------------------------------------- dedup
+def test_first_wins_dedup(spark):
+    df = spark.createDataFrame(
+        [("k1", 3, "c"), ("k1", 1, "a"), ("k1", 2, "b"), ("k2", 9, "z")],
+        "k string, ord int, v string",
+    )
+    got = first_wins_dedup(df, ["k"], [F.col("ord").asc()]).collect()
+    assert {(r.k, r.v) for r in got} == {("k1", "a"), ("k2", "z")}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    got = {r.keep_id: r.group_size for r in exact_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}  # whitespace/case-normalized group
+
+
+NEAR_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR_B = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+FAR = "completely unrelated text about database systems and query optimizers"
+
+
+def _near_dup_df(spark):
+    return spark.createDataFrame(
+        [(1, NEAR_A), (2, NEAR_B), (3, FAR), (4, NEAR_A + " extra")],
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_lsh_finds_planted_pair(spark):
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_lsh_candidates(_near_dup_df(spark)).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(_near_dup_df(spark), threshold=0.5).collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.7
+    assert all(3 not in pair for pair in got)
+
+
+def test_simhash_buckets_planted_pair(spark):
+    pairs = {(r.id_a, r.id_b) for r in simhash_buckets(_near_dup_df(spark)).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+# ---------------------------------------------------------------- similarity
+def test_cosine_topk_and_lsh_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    base[7] = base[3] + rng.standard_normal(16).astype("float32") * 0.01  # planted NN
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = cosine_topk_bruteforce(df.filter("vec_id = 3"), df, k=3)
+    top = exact.orderBy("rnk").collect()
+    assert top[0].neighbor_id == 7 and top[0].sim > 0.99
+
+    approx = lsh_ann_topk(df.filter("vec_id = 3"), df, k=3, dim=16,
+                          n_planes=4, n_tables=8)
+    assert any(r.neighbor_id == 7 for r in approx.collect())
+
+
+# ---------------------------------------------------------------- spans
+DOCS = [
+    ("d1", [("title", "hello", "", 0), ("text", "body one", "", 1),
+            ("link", "click", "http://x.test/a", 2), ("media", "", "http://x.test/i.png", 3),
+            ("text", "body two", "", 4)]),
+]
+
+
+def _docs_df(spark):
+    from news_crawler_spark.schemas import DOCUMENTS
+
+    rows = [(d, [{"kind": k, "text": t, "media_ref": m, "offset": o}
+                 for (k, t, m, o) in spans]) for d, spans in DOCS]
+    return spark.createDataFrame(rows, DOCUMENTS)
+
+
+def test_flatten_text(spark):
+    got = flatten_text(_docs_df(spark)).collect()[0]
+    assert got.text == "hello body one click body two"
+
+
+def test_document_links(spark):
+    got = [(r.kind, r.ref, r.offset) for r in
+           document_links(_docs_df(spark)).orderBy("offset").collect()]
+    assert got == [("link", "http://x.test/a", 2), ("media", "http://x.test/i.png", 3)]
+
+
+def test_span_stats(spark):
+    r = span_stats(_docs_df(spark)).collect()[0]
+    assert (r.n_spans, r.n_text, r.n_link, r.n_media) == (5, 2, 1, 1)
+    assert r.text_chars == len("hello") + len("body one") + len("click") + len("body two")
+
+
+# ---------------------------------------------------------------- html parse
+def test_html_to_spans():
+    html = ('<html><title>T</title><body>intro '
+            '<a href="/x">anchor text</a><img src="/i.png" alt="pic">'
+            '<time datetime="2025-06-01">June</time> tail</body></html>')
+    got = html_to_spans(html)
+    assert got == [
+        ("title", "T", "", 0),
+        ("text", "intro", "", 1),
+        ("link", "anchor text", "/x", 2),
+        ("media", "pic", "/i.png", 3),
+        ("date", "2025-06-01", "", 4),
+        ("text", "June", "", 5),   # <time> inner text kept as a text span
+        ("text", "tail", "", 6),
+    ]
+
+
+# ---------------------------------------------------------------- multimodal
+def test_multimodal_stub(spark):
+    df = spark.createDataFrame([("a", b"\x89PNG fake"), ("b", b"RIFF fake")],
+                               "doc_id string, body binary")
+    meta = decode_media(attach_binary(df, "body"), fake=True).orderBy("doc_id").collect()
+    assert [r.n_bytes for r in meta] == [9, 9]
+    assert all(r.width and r.height and len(r.sha256) == 64 for r in meta)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        decode_media(attach_binary(df, "body"), fake=False).collect()
