@@ -383,6 +383,108 @@ def q_sim_cosine_topk(spark, sf_dir):
         "query_id", "neighbor_id", "sim", "rnk")
 
 
+def q_sessionize(spark, sf_dir):
+    """Sessionization (gap > 30 min), batch window form (streaming twin:
+    session_window in streaming/events.py)."""
+    from news_crawler_spark.streaming import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "event_id", "session_no")
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (union-window algorithm): each event matched to the
+    user's most recent order at-or-before the event time."""
+    from news_crawler_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"),
+                 F.col("o_orderdate").alias("odate"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"))  # unique per (key,time)
+    )
+    out = asof_join(ev, orders, key="user_id", probe_time="ts",
+                    ref_time="odate", value_cols=["o_orderkey"])
+    return out.select("event_id", "user_id", "asof_o_orderkey")
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot: per-user event-type count matrix."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def q_cube(spark, sf_dir):
+    """Cube aggregate over returnflag x linestatus."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n"))
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+    )
+
+
+def q_korean_date_parse(spark, sf_dir):
+    """P1: Korean-format datetime round-trip (reference news.py:116-121
+    parses '%Y년 %m월 %d일 %H:%M')."""
+    o = _t(spark, sf_dir, "orders")
+    kstr = F.date_format("o_orderdate", "yyyy'년' MM'월' dd'일' HH:mm")
+    parsed = F.to_timestamp(kstr, "yyyy'년' MM'월' dd'일' HH:mm")
+    return o.select("o_orderkey", kstr.alias("kdate"), parsed.alias("parsed"))
+
+
+def q_sid_assignment(spark, sf_dir):
+    """K3: deterministic SID numbering for novel rule keys
+    (BASE_SID + row_number in key order, suricata.py:184-186)."""
+    ev = _t(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        F.pmod(F.col("event_id"), F.lit(250)).cast("string"),
+        F.pmod(F.col("user_id"), F.lit(250)).cast("string"),
+        F.lit("0"), F.lit("1"),
+    )
+    keys = ev.select(ip.alias("key")).dropDuplicates(["key"])
+    w = Window.orderBy(F.col("key").asc())
+    return keys.withColumn("sid", F.lit(7000000) + F.row_number().over(w))
+
+
+def q_digest_plan(spark, sf_dir):
+    """The reference's whole job as one plan: F1→F3→L1→D1→L2
+    (plans/digest.py) over synthesized items."""
+    from news_crawler_spark.plans import news_digest
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" "),
+                 F.substring("text", 1, 40)).alias("title"),
+        F.concat(F.lit("http://n.test/"), (F.col("doc_id") % 50).cast("string"))
+        .alias("link"),
+        F.make_timestamp(
+            F.lit(2025), F.lit(6), (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3))),
+            F.pmod(F.col("doc_id"), F.lit(24)), F.lit(0), F.lit(0),
+        ).alias("published"),
+    )
+    return news_digest(items, ["query", "join", "window"],
+                       "2025-06-02", limit=10)
+
+
 # -- rows-only entries (no ANSI-SQL equivalent: xxhash64 / pandas UDFs) -----
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -428,6 +530,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "jaccard_token_pairs": q_jaccard_token_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "pivot": q_pivot,
+        "cube": q_cube,
+        "percentiles": q_percentiles,
+        "korean_date_parse": q_korean_date_parse,
+        "sid_assignment": q_sid_assignment,
+        "digest_plan": q_digest_plan,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
     }
@@ -671,6 +781,81 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY sim DESC, neighbor_id) AS rnk
             FROM scored QUALIFY rnk <= 5
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM g
+        """,
+        "asof_join": """
+            WITH o AS (
+              SELECT o_custkey AS user_id, o_orderdate AS odate,
+                     max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, o.o_orderkey AS asof_o_orderkey
+            FROM events e
+            ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.odate
+        """,
+        "pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS click,
+                   count(*) FILTER (event_type = 'error')    AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup')   AS signup,
+                   count(*) FILTER (event_type = 'view')     AS view
+            FROM events GROUP BY user_id
+        """,
+        "cube": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.5), 4)  AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75
+            FROM events GROUP BY event_type
+        """,
+        "korean_date_parse": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y년 %m월 %d일 %H:%M') AS kdate,
+                   strptime(strftime(o_orderdate, '%Y년 %m월 %d일 %H:%M'),
+                            '%Y년 %m월 %d일 %H:%M') AS parsed
+            FROM orders
+        """,
+        "sid_assignment": """
+            WITH keys AS (
+              SELECT DISTINCT (event_id % 250) || '.' || (user_id % 250) || '.0.1' AS key
+              FROM events)
+            SELECT key, 7000000 + row_number() OVER (ORDER BY key) AS sid
+            FROM keys
+        """,
+        "digest_plan": """
+            WITH items AS (
+              SELECT 'doc ' || doc_id || ' ' || substr(text, 1, 40) AS title,
+                     'http://n.test/' || (doc_id % 50) AS link,
+                     make_timestamp(2025, 6, 1 + (doc_id % 3),
+                                    doc_id % 24, 0, 0) AS published
+              FROM documents),
+            filtered AS (
+              SELECT * FROM items
+              WHERE CAST(published AS DATE) = DATE '2025-06-02'
+                AND regexp_matches(title, '(?i)(query|join|window)')),
+            deduped AS (
+              SELECT * FROM filtered
+              QUALIFY row_number() OVER (PARTITION BY link
+                        ORDER BY published DESC, title, link) = 1)
+            SELECT title, link, published FROM deduped
+            ORDER BY published DESC, title, link LIMIT 10
         """,
         # dedup_minhash_lsh / dedup_simhash: intentionally omitted —
         # xxhash64/blake2b signatures have no DuckDB equivalent; the

@@ -1,0 +1,135 @@
+"""Partitioned bloom filter over the resolved-slot set (SURVEY.md §7.2 M4).
+
+The scale-critical join is ``frontier ⟂ resolved`` (10^10 rows both
+sides). A bloom pre-filter answers "definitely not resolved" for the
+overwhelming majority of pending rows, so the exact anti-join only
+sees bloom-positives. Correctness stays exact: the bloom is only a
+router — negatives are *provably* unresolved (no false negatives),
+positives are re-checked exactly.
+
+Layout: ``n_shards`` independent filters keyed by
+``shard_id = slot_hash mod n_shards``; each shard is a numpy bit
+array built/probed vectorized (no per-row Python). In the sandbox the
+shard set is broadcast (MBs); at 10^10 scale (~12.5 GB total at
+10 bits/key) the same blobs live as a table co-partitioned with the
+frontier buckets and each probe task loads only its shard — the
+probe function below is shard-local either way.
+
+The shard digests go into the round's lineage row; resume rebuilds
+the shards from the resolved table and verifies the digest
+(bloom-shard consistency check of SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K_HASHES = 7
+BITS_PER_KEY = 12
+
+
+def slot_hash_col() -> F.Column:
+    """The 64-bit scheduling-slot key: xxhash64(url_hash, attempt)."""
+    return F.xxhash64(F.col("url_hash"), F.col("attempt"))
+
+
+def _positions(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """(len(keys), K_HASHES) bit positions via double hashing."""
+    h = keys.astype(np.uint64)
+    h1 = h * np.uint64(0x9E3779B97F4A7C15)
+    h1 ^= h1 >> np.uint64(29)
+    h2 = (h * np.uint64(0xBF58476D1CE4E5B9)) | np.uint64(1)
+    i = np.arange(K_HASHES, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+class BloomShards:
+    """Driver-held shard set with vectorized add/probe and auto-regrow."""
+
+    def __init__(self, n_shards: int = 16, capacity: int = 1 << 20):
+        self.n_shards = n_shards
+        self.capacity = capacity  # keys per shard before regrow
+        self.m_bits = capacity * BITS_PER_KEY
+        self.bits = [np.zeros(self.m_bits // 8, dtype=np.uint8)
+                     for _ in range(n_shards)]
+        self.counts = [0] * n_shards
+        self._key_xor = 0  # order-insensitive key-set digest state
+        self._key_n = 0
+
+    def add(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        keys = keys.astype(np.int64)
+        self._key_xor ^= int(np.bitwise_xor.reduce(keys.astype(np.uint64)))
+        self._key_n += len(keys)
+        shard_of = (keys % self.n_shards + self.n_shards) % self.n_shards
+        for s in range(self.n_shards):
+            ks = keys[shard_of == s]
+            if len(ks) == 0:
+                continue
+            pos = _positions(ks, self.m_bits).ravel()
+            np.bitwise_or.at(self.bits[s], pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+            self.counts[s] += len(ks)
+
+    def needs_regrow(self) -> bool:
+        return max(self.counts) > self.capacity
+
+    def digest(self) -> str:
+        """Digest of the absorbed KEY SET (xor+count), not the bit
+        arrays — invariant under regrow, so a resume-time rebuild from
+        the resolved table must reproduce it exactly."""
+        return hashlib.sha256(
+            f"{self._key_xor}|{self._key_n}|{self.n_shards}".encode()
+        ).hexdigest()[:16]
+
+    def snapshot(self) -> dict:
+        """Pickle-friendly payload for broadcast."""
+        return {"n_shards": self.n_shards, "m_bits": self.m_bits,
+                "bits": self.bits}
+
+
+def probe_negative_mask(snap: dict, keys: np.ndarray) -> np.ndarray:
+    """True where the key is DEFINITELY absent (vectorized, shard-local)."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    keys = keys.astype(np.int64)
+    n_shards, m_bits, bits = snap["n_shards"], snap["m_bits"], snap["bits"]
+    shard_of = (keys % n_shards + n_shards) % n_shards
+    positive = np.ones(len(keys), dtype=bool)
+    for s in np.unique(shard_of):
+        idx = np.nonzero(shard_of == s)[0]
+        pos = _positions(keys[idx], m_bits)  # (n, K)
+        b = bits[s]
+        hit = (b[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        positive[idx] = hit.all(axis=1)
+    return ~positive
+
+
+def split_by_bloom(pending0: DataFrame, snap_broadcast) -> DataFrame:
+    """Adds a ``bloom_neg`` column: True → definitely unresolved.
+
+    ``pending0`` needs url_hash + attempt. Arrow-batched numpy probe,
+    no per-row Python.
+    """
+    from pyspark.sql import types as T
+
+    with_key = pending0.withColumn("_slot", slot_hash_col())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        snap = snap_broadcast.value
+        for pdf in batches:
+            neg = probe_negative_mask(snap, pdf["_slot"].to_numpy())
+            yield pdf.assign(bloom_neg=neg)
+
+    out_schema = T.StructType(
+        list(with_key.schema.fields)
+        + [T.StructField("bloom_neg", T.BooleanType(), False)]
+    )
+    return with_key.mapInPandas(run, schema=out_schema).drop("_slot")

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from news_crawler_spark import schemas
 from news_crawler_spark.crawl import frontier as frontier_ops
+from news_crawler_spark.crawl.bloom import BloomShards, slot_hash_col, split_by_bloom
 from news_crawler_spark.crawl.fetch import Fetcher, extract_links, fetch_round
 from news_crawler_spark.tables import SnapshotTable
 
@@ -61,13 +62,16 @@ def url_priority_col(seed: int, url_col: str = "url") -> F.Column:
 class CrawlEngine:
     def __init__(self, spark: SparkSession, state_dir: str, hosts: DataFrame,
                  fetcher: Fetcher, seed: int = 42, max_attempts: int = 3,
-                 n_salts: int = 8):
+                 n_salts: int = 8, use_bloom: bool = True,
+                 bloom_shards: int = 16):
         self.spark = spark
         self.hosts = hosts
         self.fetcher = fetcher
         self.seed = seed
         self.max_attempts = max_attempts
         self.n_salts = n_salts
+        self.bloom = BloomShards(n_shards=bloom_shards) if use_bloom else None
+        self._bloom_bc = None
         st = lambda name, schema: SnapshotTable(spark, state_dir, name, schema)
         self.frontier = st("frontier", schemas.FRONTIER)
         self.resolved = st("resolved", schemas.RESOLVED)
@@ -143,16 +147,70 @@ class CrawlEngine:
         self.resolved.rollback(last.resolved_snapshot)
         self.documents.rollback(last.documents_snapshot)
         self._rebuild_seen_digest()
+        if self.bloom is not None:
+            self._rebuild_bloom()
+            committed = last.bloom_digest.split(":")[-1] if last.bloom_digest else ""
+            if committed and committed != self.bloom.digest():
+                raise RuntimeError(
+                    "bloom shard digest mismatch after rebuild — resolved "
+                    "table and lineage row disagree (torn state?)")
         self.next_round = last["round"] + 1
         return self.next_round
+
+    # -- pending: the scale-critical anti-join, bloom-prefiltered ---------
+    def _pending(self, round_no: int) -> DataFrame:
+        pend0 = self.frontier.read().filter(F.col("not_before") <= F.lit(round_no))
+        if self.bloom is None:
+            return pend0.join(self.resolved.read().select("url_sha", "attempt"),
+                              ["url_sha", "attempt"], "left_anti")
+        if self._bloom_bc is None:
+            self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom.snapshot())
+        probed = split_by_bloom(pend0, self._bloom_bc)
+        negatives = probed.filter(F.col("bloom_neg")).drop("bloom_neg")
+        positives = (
+            probed.filter(~F.col("bloom_neg")).drop("bloom_neg")
+            .join(self.resolved.read().select("url_sha", "attempt"),
+                  ["url_sha", "attempt"], "left_anti")
+        )
+        return negatives.unionByName(positives)
+
+    def _bloom_absorb(self, fetched: DataFrame) -> None:
+        """Add this round's consumed slots to the shards; regrow from the
+        resolved table if any shard passed capacity."""
+        if self.bloom is None:
+            return
+        import numpy as np
+
+        keys = fetched.select(slot_hash_col().alias("h")).toPandas()["h"].to_numpy()
+        self.bloom.add(keys)
+        if self.bloom.needs_regrow():
+            self._rebuild_bloom(capacity=self.bloom.capacity * 4)
+        if self._bloom_bc is not None:
+            self._bloom_bc.destroy()
+        self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom.snapshot())
+
+    def _rebuild_bloom(self, capacity: int | None = None) -> None:
+        """Full rebuild from the resolved table (resume / regrow path).
+
+        Sandbox: collect slot hashes to the driver (8 B/slot). At
+        10^10, the same rebuild runs distributed: applyInPandas per
+        shard_id builds each shard's bit array from its co-partitioned
+        resolved bucket; only the blobs come back.
+        """
+        cap = capacity or (self.bloom.capacity if self.bloom else 1 << 20)
+        self.bloom = BloomShards(n_shards=self.bloom.n_shards, capacity=cap)
+        keys = (self.resolved.read().select(slot_hash_col().alias("h"))
+                .toPandas()["h"].to_numpy())
+        self.bloom.add(keys)
+        if self._bloom_bc is not None:
+            self._bloom_bc.destroy()
+        self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom.snapshot())
 
     # -- the round DAG ----------------------------------------------------
     def run_round(self, round_no: int | None = None) -> dict:
         r = self.next_round if round_no is None else round_no
         t0 = time.perf_counter()
-        selected = frontier_ops.select_candidates(
-            self.frontier.read(), self.resolved.read(), self.hosts, r,
-        )
+        selected = frontier_ops.select_candidates(self._pending(r), self.hosts)
         fetched = fetch_round(selected, self.fetcher, n_salts=self.n_salts)
         fetched.persist()
         t = {"_select_build": round(time.perf_counter() - t0, 3)}
@@ -240,10 +298,11 @@ class CrawlEngine:
             t["state_appends"] = round(time.perf_counter() - t1, 3)
 
             t1 = time.perf_counter()
+            self._bloom_absorb(fetched)
             n_retries = scheduled - n_ok - agg["n_dead"]
             n_new = self.frontier.read_snapshot_delta().count() - n_retries
             self._commit_lineage(r, scheduled, n_ok, n_err, n_new,
-                                 self._seen_digest())
+                                 self._state_digest())
             t["lineage"] = round(time.perf_counter() - t1, 3)
             self.next_round = r + 1
             self.last_timings = t
@@ -258,6 +317,12 @@ class CrawlEngine:
         full-table rescan per round; resume() rebuilds it once."""
         return hashlib.sha256(
             f"{self._seen_xor}|{self._seen_n}".encode()).hexdigest()[:16]
+
+    def _state_digest(self) -> str:
+        """Lineage audit digest: seen digest + bloom shard digest."""
+        if self.bloom is None:
+            return self._seen_digest()
+        return f"{self._seen_digest()}:{self.bloom.digest()}"
 
     def _rebuild_seen_digest(self) -> None:
         row = self.url_seen_df().agg(

@@ -53,14 +53,13 @@ def pending(frontier: DataFrame, resolved: DataFrame, round_no: int) -> DataFram
     )
 
 
-def select_candidates(frontier: DataFrame, resolved: DataFrame,
-                      hosts: DataFrame, round_no: int) -> DataFrame:
-    """The round's fetch set with per-host sequence numbers.
+def select_candidates(cand: DataFrame, hosts: DataFrame) -> DataFrame:
+    """The round's fetch set with per-host sequence numbers, from a
+    prebuilt pending set (see :func:`pending` / engine bloom path).
 
     Returns pending columns + ``seq`` (1-based per-host fetch order:
     priority desc, url asc — the oracle's total order) + host columns.
     """
-    cand = pending(frontier, resolved, round_no)
 
     # robots + budget gate; hosts is small → broadcast (J-host in SURVEY §2.9)
     gated = (

@@ -1,0 +1,96 @@
+"""Structured Streaming operators (SURVEY.md §2.12).
+
+The reference is a scheduled micro-batch loop (cron slots, T1/T2); the
+crawl engine keeps batch rounds because frontier feedback is cyclic.
+But the *analytics* side — event/metrics streams a crawler emits — is
+a textbook streaming workload, so the engine provides it:
+
+* tumbling/sliding window aggregates with watermarked late-data
+  handling (T1's daily window generalized),
+* sessionization both as a stream (``session_window``) and as the
+  batch window-function form (lag + cumulative gap-count) whose
+  results a SQL oracle can verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def windowed_event_aggs(events: DataFrame, window: str = "1 hour",
+                        slide: str | None = None,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Watermarked windowed aggregate; works on both a static DF and a
+    stream (same plan — that's the point of Structured Streaming)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+    )
+
+
+def streaming_event_counts(spark: SparkSession, parquet_dir: str,
+                           window: str = "1 hour") -> DataFrame:
+    """readStream → windowed agg; drive with memory sink +
+    processAllAvailable in tests (no long-running query needed)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+        .load(parquet_dir)
+    )
+    return windowed_event_aggs(stream, window=window)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization, batch form: a session breaks when the gap to the
+    previous event of the same user exceeds ``gap_minutes``. Pure
+    window functions (lag + running count of breaks) — SQL-oracle
+    checkable, and the exact batch equivalent of
+    ``session_window(ts, gap)`` in streaming mode."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # timestampdiff handles both TIMESTAMP and TIMESTAMP_NTZ (parquet
+    # without isAdjustedToUTC reads as NTZ in Spark 4, which can't cast
+    # to long directly)
+    with_prev = events.withColumn("_prev", F.lag("ts").over(w))
+    is_break = (
+        F.col("_prev").isNull()
+        # microsecond grain: SECOND would truncate sub-second gaps and
+        # disagree with fractional-second oracles at the boundary
+        | (F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+           > gap_minutes * 60 * 1_000_000)
+    ).cast("int")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        with_prev.withColumn("session_no", F.sum(is_break).over(w_run))
+        .select("user_id", "event_id", "ts", "session_no")
+    )
+
+
+def sessionize_stream(spark: SparkSession, parquet_dir: str,
+                      gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via the built-in session_window."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+        .load(parquet_dir)
+    )
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select("user_id", F.col("sw.start").alias("s_start"),
+                F.col("sw.end").alias("s_end"), "n_events", "total")
+    )

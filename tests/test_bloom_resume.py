@@ -1,0 +1,101 @@
+"""M4 (bloom shards) + M5 (kill/resume, zero-replay) tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from news_crawler_spark.crawl import CrawlEngine, SyntheticFetcher
+from news_crawler_spark.crawl.bloom import BloomShards, probe_negative_mask
+from news_crawler_spark.fixtures import CrawlOracle, SiteConfig, host_rows, seed_rows
+from news_crawler_spark.schemas import HOSTS
+
+CFG = SiteConfig(seed=99, n_hosts=5, base_pages=24, hot_factor=4, n_seeds=3)
+
+
+# ---------------------------------------------------------------- bloom unit
+def test_bloom_no_false_negatives_and_low_fpp():
+    rng = np.random.default_rng(0)
+    members = rng.integers(-(2**62), 2**62, 50_000, dtype=np.int64)
+    others = rng.integers(-(2**62), 2**62, 50_000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    b = BloomShards(n_shards=8, capacity=10_000)
+    b.add(members)
+    snap = b.snapshot()
+    assert not probe_negative_mask(snap, members).any(), "false negative!"
+    fpp = 1.0 - probe_negative_mask(snap, others).mean()
+    assert fpp < 0.02, f"fpp too high: {fpp}"
+
+
+def test_bloom_digest_is_rebuild_invariant():
+    keys = np.arange(1000, dtype=np.int64) * 7919
+    a = BloomShards(n_shards=4, capacity=100)
+    for chunk in np.array_split(keys, 7):  # incremental adds
+        a.add(chunk)
+    b = BloomShards(n_shards=4, capacity=100_000)  # different capacity
+    b.add(keys)  # one-shot rebuild
+    assert a.digest() == b.digest()
+
+
+# ------------------------------------------------------------- kill/resume
+def _mk_engine(spark, state, **kw):
+    hosts = spark.createDataFrame(host_rows(CFG), HOSTS)
+    return CrawlEngine(spark, state, hosts, SyntheticFetcher(CFG),
+                       seed=CFG.seed, max_attempts=CFG.max_attempts, **kw)
+
+
+def test_kill_resume_replays_no_url(spark, tmp_path):
+    """Kill after round 1 with a torn (uncommitted) append; resume must
+    roll back the torn write, continue, and match both the oracle and
+    an uninterrupted run exactly — zero URL fetched twice."""
+    state = str(tmp_path / "state")
+    eng = _mk_engine(spark, state)
+    eng.init(spark.createDataFrame(seed_rows(CFG), "url string, priority double"))
+    eng.run(2)
+
+    # simulate a mid-round kill: resolved + frontier appended, documents
+    # and lineage NOT — exactly the torn window the commit order allows
+    torn = eng.resolved.read().limit(4)
+    eng.resolved.append(torn)
+    eng.frontier.append(eng.frontier.read().limit(2))
+
+    eng2 = _mk_engine(spark, state)
+    assert eng2.resume() == 2
+    eng2.run(2)
+
+    oracle = CrawlOracle(CFG).run(4)
+    log = sorted((r["round"], r.host, r.seq, r.url)
+                 for r in eng2.crawl_log_df().collect())
+    assert log == sorted(oracle.crawl_log)
+    assert {(r.url, r.seen_round) for r in eng2.url_seen_df().collect()} \
+        == set(oracle.url_seen.items())
+    # zero replay: every (url, attempt) slot resolved at most once
+    dup = (eng2.resolved.read().groupBy("url_sha", "attempt").count()
+           .filter("count > 1").count())
+    assert dup == 0
+
+
+def test_resume_validates_bloom_digest(spark, tmp_path):
+    state = str(tmp_path / "state")
+    eng = _mk_engine(spark, state)
+    eng.init(spark.createDataFrame(seed_rows(CFG), "url string, priority double"))
+    eng.run(2)
+    committed = eng.bloom.digest()
+
+    eng2 = _mk_engine(spark, state)
+    eng2.resume()
+    assert eng2.bloom.digest() == committed
+
+
+def test_bloom_off_equals_bloom_on(spark, tmp_path):
+    """The bloom is a router, not a semantic: same crawl either way."""
+    a = _mk_engine(spark, str(tmp_path / "a"), use_bloom=True)
+    b = _mk_engine(spark, str(tmp_path / "b"), use_bloom=False)
+    seeds = spark.createDataFrame(seed_rows(CFG), "url string, priority double")
+    a.init(seeds)
+    b.init(seeds)
+    a.run(3)
+    b.run(3)
+    la = sorted((r["round"], r.host, r.seq, r.url) for r in a.crawl_log_df().collect())
+    lb = sorted((r["round"], r.host, r.seq, r.url) for r in b.crawl_log_df().collect())
+    assert la == lb

@@ -1,0 +1,132 @@
+"""Sinks (K3-K6 semantics: idempotent merge, SID continuity) and
+streaming (windowed aggs, sessionization) tests — modeled on the
+reference's state-evolution golden tests (test_defense.py:83-98:
+idempotent merge across two calls)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from news_crawler_spark.plans import news_digest
+from news_crawler_spark.sources.sinks import (
+    BASE_SID_IP,
+    RulesSink,
+    block_hashes,
+    block_ips,
+    block_urls,
+    ipset_batch,
+    digest_rows,
+)
+from news_crawler_spark.streaming import (
+    sessionize_batch,
+    streaming_event_counts,
+    windowed_event_aggs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------- sinks
+def test_block_ips_idempotent_merge_and_sid_continuity(spark, tmp_path):
+    sink = RulesSink(spark, str(tmp_path), "rules_ip", BASE_SID_IP)
+    batch1 = spark.createDataFrame(
+        [("1[.]2[.]3[.]4",), ("8.8.8.8",), ("999.1.1.1",), (" ",)], "value string")
+    added1 = block_ips(sink, batch1)
+    assert added1 == 2  # invalid + blank dropped (P6/F6)
+
+    batch2 = spark.createDataFrame(
+        [("8.8.8.8",), ("9.9.9.9",)], "value string")
+    added2 = block_ips(sink, batch2)
+    assert added2 == 1  # 8.8.8.8 already present (D5)
+
+    rows = {r.key: r.sid for r in sink.table.read().collect()}
+    assert set(rows) == {"1.2.3.4", "8.8.8.8", "9.9.9.9"}
+    # SIDs: deterministic, unique, continuing past the base
+    assert sorted(rows.values()) == [BASE_SID_IP + 1, BASE_SID_IP + 2, BASE_SID_IP + 3]
+
+    # re-running the same batch adds nothing (reference test_defense.py:83-98)
+    assert block_ips(sink, batch2) == 0
+    assert sink.table.read().count() == 3
+
+
+def test_block_urls_and_hashes(spark, tmp_path):
+    usink = RulesSink(spark, str(tmp_path), "rules_url", 7_100_000)
+    n = block_urls(usink, spark.createDataFrame(
+        [("https[:]//bad.example/x?q=1",), ("https://bad.example/x?q=1",)],
+        "value string"))
+    assert n == 1  # defang-normalized forms collide → one rule (P5+D4)
+
+    hsink = RulesSink(spark, str(tmp_path), "rules_hash", 7_200_000)
+    n = block_hashes(hsink, spark.createDataFrame(
+        [("D41D8CD98F00B204E9800998ECF8427E",),
+         ("d41d8cd98f00b204e9800998ecf8427e",), ("zznothash",)], "value string"))
+    assert n == 1  # lowercase-dedup (P8/D4), invalid dropped
+
+
+def test_ipset_batch_dedup(spark):
+    out = ipset_batch(spark.createDataFrame(
+        [("1.1.1.1",), ("1.1.1.1",), ("2[.]2[.]2[.]2",), ("bad",)], "value string"))
+    assert sorted(r.ip for r in out.collect()) == ["1.1.1.1", "2.2.2.2"]
+
+
+def test_digest_rows(spark):
+    news = spark.createDataFrame([("T1", "http://a/1")], "title string, url string")
+    iocs = spark.createDataFrame([("ip", "1.1.1.1"), ("ip", "2.2.2.2")],
+                                 "kind string, value string")
+    got = {(r.section, r.line) for r in digest_rows(news, iocs).collect()}
+    assert got == {("item", "- [T1](http://a/1)"), ("count", "ip: 2")}
+
+
+# --------------------------------------------------------------- digest plan
+def test_news_digest_replays_reference_job_semantics(spark):
+    """F1→F3→L1→D1→L2 composition on crafted rows (reference
+    news.py:126-163: today-only, keyword, newest-first, first-wins,
+    capped)."""
+    today = datetime.date(2025, 6, 2)
+    ts = lambda h: datetime.datetime(2025, 6, 2, h)
+    rows = [
+        ("해킹 alert A", "http://x/a", ts(9)),
+        ("XSS bug B", "http://x/b", ts(11)),
+        ("boring news", "http://x/c", ts(10)),          # no keyword → dropped
+        ("해킹 alert A dup", "http://x/a", ts(8)),       # same link → first-wins
+        ("malware old", "http://x/d", datetime.datetime(2025, 6, 1, 9)),  # not today
+        ("exploit E", "http://x/e", None),               # null published → dropped by F1
+    ]
+    items = spark.createDataFrame(rows, "title string, link string, published timestamp")
+    got = [(r.title, r.link) for r in
+           news_digest(items, ["해킹", "XSS", "malware", "exploit"], today, limit=10).collect()]
+    assert got == [("XSS bug B", "http://x/b"), ("해킹 alert A", "http://x/a")]
+
+
+# ---------------------------------------------------------------- streaming
+def test_windowed_aggs_static_equals_streaming(spark, tmp_path):
+    """The same plan over the same rows: batch result == streaming
+    result driven to completion via the memory sink."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    static = {(r.w_start, r.event_type): (r.n, r.total)
+              for r in windowed_event_aggs(events).collect()}
+
+    stream_df = streaming_event_counts(spark, f"{SF_DIR}", window="1 hour")
+    q = (stream_df.writeStream.outputMode("complete")
+         .format("memory").queryName("ev_counts").start())
+    try:
+        q.processAllAvailable()
+        streamed = {(r.w_start, r.event_type): (r.n, r.total)
+                    for r in spark.sql("SELECT * FROM ev_counts").collect()}
+    finally:
+        q.stop()
+    assert streamed == static
+
+
+def test_sessionize_batch(spark):
+    t0 = datetime.datetime(2025, 1, 1, 0, 0)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)
+    rows = [
+        (1, mins(0), 7), (2, mins(10), 7), (3, mins(70), 7),  # gap>30 → new session
+        (4, mins(75), 7), (5, mins(0), 8),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {r.event_id: r.session_no for r in sessionize_batch(df, 30).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
