@@ -498,6 +498,18 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_buckets(_t(spark, sf_dir, "documents"))
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH blocking
+    (seeded pandas-UDF signatures — rows-only check; recall verified
+    against brute force in tests/test_operators.py)."""
+    from news_crawler_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return embedding_near_dup_pairs(emb.filter(F.col("vec_id") < 500),
+                                    threshold=0.9, dim=dim)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f1_date_range_filter": q_f1_date_range_filter,
@@ -540,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digest_plan": q_digest_plan,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 

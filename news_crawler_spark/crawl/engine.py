@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import hashlib
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,7 +64,7 @@ class CrawlEngine:
     def __init__(self, spark: SparkSession, state_dir: str, hosts: DataFrame,
                  fetcher: Fetcher, seed: int = 42, max_attempts: int = 3,
                  n_salts: int = 8, use_bloom: bool = True,
-                 bloom_shards: int = 16):
+                 bloom_shards: int = 16, bloom_min_resolved: int = 2_000_000):
         self.spark = spark
         self.hosts = hosts
         self.fetcher = fetcher
@@ -72,6 +73,11 @@ class CrawlEngine:
         self.n_salts = n_salts
         self.bloom = BloomShards(n_shards=bloom_shards) if use_bloom else None
         self._bloom_bc = None
+        # below this resolved-set size the exact anti-join beats the
+        # probe's Arrow round trip (measured in-sandbox); the shards are
+        # still maintained so the switch-over is seamless at scale
+        self.bloom_min_resolved = bloom_min_resolved
+        self._resolved_n = 0
         st = lambda name, schema: SnapshotTable(spark, state_dir, name, schema)
         self.frontier = st("frontier", schemas.FRONTIER)
         self.resolved = st("resolved", schemas.RESOLVED)
@@ -160,7 +166,7 @@ class CrawlEngine:
     # -- pending: the scale-critical anti-join, bloom-prefiltered ---------
     def _pending(self, round_no: int) -> DataFrame:
         pend0 = self.frontier.read().filter(F.col("not_before") <= F.lit(round_no))
-        if self.bloom is None:
+        if self.bloom is None or self._resolved_n < self.bloom_min_resolved:
             return pend0.join(self.resolved.read().select("url_sha", "attempt"),
                               ["url_sha", "attempt"], "left_anti")
         if self._bloom_bc is None:
@@ -212,104 +218,115 @@ class CrawlEngine:
         t0 = time.perf_counter()
         selected = frontier_ops.select_candidates(self._pending(r), self.hosts)
         fetched = fetch_round(selected, self.fetcher, n_salts=self.n_salts)
-        fetched.persist()
         t = {"_select_build": round(time.perf_counter() - t0, 3)}
-        try:
-            # one job materializes the cache AND produces every round
-            # counter + the seen-digest delta (no per-metric rescans)
-            t1 = time.perf_counter()
-            exhausted = F.col("status").isin(list(RETRYABLE)) & (
-                F.col("attempt") + 1 >= self.max_attempts
-            )
-            is_dead = (F.col("status") == 404) | exhausted
-            agg = fetched.agg(
-                F.count("*").alias("n"),
-                F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
-                F.count(F.when(is_dead, 1)).alias("n_dead"),
-                F.coalesce(
-                    F.expr("bit_xor(case when status = 200 then url_hash end)"),
-                    F.lit(0),
-                ).alias("ok_xor"),
-            ).collect()[0]
-            scheduled, n_ok = agg["n"], agg["n_ok"]
-            t["fetch_agg"] = round(time.perf_counter() - t1, 3)
-            if scheduled == 0:
-                self.next_round = r + 1
-                self.last_timings = t
-                return {"round": r, "scheduled": 0, "ok": 0, "errors": 0, "new_urls": 0}
 
-            disposition = (
-                F.when(F.col("status") == 200, "ok")
-                .when(is_dead, "dead")
-                .otherwise("retry")
-            )
-            resolved_rows = fetched.select(
-                "url_hash", "url_sha", "url", "host", "seq",
-                F.lit(r).alias("round"), "attempt", "status",
-                disposition.alias("disposition"),
-            )
-            self._seen_xor ^= int(agg["ok_xor"])
-            self._seen_n += n_ok
-            n_err = scheduled - n_ok
+        # ONE pass over the fetch UDF: its output lands directly in a
+        # disposition-partitioned staging parquet dir. Everything
+        # downstream reads staged columns (spans pruned away unless
+        # needed), and the ok-partition is adopted zero-copy as the
+        # documents append — no memory-cache serialization of fat span
+        # rows, no second spans write.
+        t1 = time.perf_counter()
+        exhausted = F.col("status").isin(list(RETRYABLE)) & (
+            F.col("attempt") + 1 >= self.max_attempts
+        )
+        is_dead = (F.col("status") == 404) | exhausted
+        disposition = (
+            F.when(F.col("status") == 200, "ok")
+            .when(is_dead, "dead")
+            .otherwise("retry")
+        )
+        import uuid as _uuid
 
-            # first-wins (D2): candidates never re-enter the frontier —
-            # every previously discovered URL already has a frontier row
-            candidates = (
-                extract_links(fetched)
-                .join(self.frontier.read().select("url_sha"), "url_sha", "left_anti")
-                .select(
-                    "url", "url_hash", "url_sha", "host", "path",
-                    url_priority_col(self.seed).alias("priority"),
-                    F.lit(r).alias("discovered_round"),
-                    F.lit(0).alias("attempt"),
-                    F.lit(0).alias("not_before"),
-                )
-            )
-            retry_rows = fetched.filter(
-                F.col("status").isin(list(RETRYABLE))
-                & (F.col("attempt") + 1 < self.max_attempts)
-            ).select(
-                "url", "url_hash", "url_sha", "host", "path", "priority",
-                "discovered_round",
-                (F.col("attempt") + 1).alias("attempt"),
-                (F.lit(r + 1) + F.col("attempt")).cast("int").alias("not_before"),
-            )
-            doc_rows = (
-                fetched.filter(F.col("status") == 200)
-                .select(F.col("url").alias("doc_id"), "spans")
-            )
+        staging = os.path.join(self.documents.data_dir,
+                               f"staging-{r:08d}-{_uuid.uuid4().hex[:8]}")
+        (fetched
+         .withColumn("doc_id", F.col("url"))
+         .withColumn("disposition", disposition)
+         .write.partitionBy("disposition").parquet(staging))
+        staged = self.spark.read.option("basePath", staging).parquet(staging)
+        t["fetch_stage_write"] = round(time.perf_counter() - t1, 3)
 
-            # the three appends are independent (all read only the cached
-            # fetch + already-committed snapshots) → submit concurrently;
-            # each append is itself atomic, and the lineage row below is
-            # the round's commit marker either way
-            t1 = time.perf_counter()
-            from concurrent.futures import ThreadPoolExecutor
+        t1 = time.perf_counter()
+        agg = staged.agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("disposition") == "ok", 1)).alias("n_ok"),
+            F.count(F.when(F.col("disposition") == "dead", 1)).alias("n_dead"),
+            F.coalesce(
+                F.expr("bit_xor(case when disposition = 'ok' then url_hash end)"),
+                F.lit(0),
+            ).alias("ok_xor"),
+        ).collect()[0]
+        scheduled, n_ok = agg["n"], agg["n_ok"]
+        t["agg"] = round(time.perf_counter() - t1, 3)
+        if scheduled == 0:
+            import shutil as _shutil
 
-            with ThreadPoolExecutor(max_workers=3) as pool:
-                futs = [
-                    pool.submit(self.resolved.append, resolved_rows),
-                    pool.submit(self.frontier.append,
-                                candidates.unionByName(retry_rows)),
-                    pool.submit(self.documents.append, doc_rows),
-                ]
-                for f in futs:
-                    f.result()
-            t["state_appends"] = round(time.perf_counter() - t1, 3)
-
-            t1 = time.perf_counter()
-            self._bloom_absorb(fetched)
-            n_retries = scheduled - n_ok - agg["n_dead"]
-            n_new = self.frontier.read_snapshot_delta().count() - n_retries
-            self._commit_lineage(r, scheduled, n_ok, n_err, n_new,
-                                 self._state_digest())
-            t["lineage"] = round(time.perf_counter() - t1, 3)
+            _shutil.rmtree(staging, ignore_errors=True)
             self.next_round = r + 1
             self.last_timings = t
-            return {"round": r, "scheduled": scheduled, "ok": n_ok,
-                    "errors": n_err, "new_urls": n_new}
-        finally:
-            fetched.unpersist()
+            return {"round": r, "scheduled": 0, "ok": 0, "errors": 0, "new_urls": 0}
+
+        resolved_rows = staged.select(
+            "url_hash", "url_sha", "url", "host", "seq",
+            F.lit(r).alias("round"), "attempt", "status", "disposition",
+        )
+        self._seen_xor ^= int(agg["ok_xor"])
+        self._seen_n += n_ok
+        self._resolved_n += scheduled
+        n_err = scheduled - n_ok
+
+        # first-wins (D2): candidates never re-enter the frontier —
+        # every previously discovered URL already has a frontier row
+        ok_rows = staged.filter(F.col("disposition") == "ok")
+        candidates = (
+            extract_links(ok_rows)
+            .join(self.frontier.read().select("url_sha"), "url_sha", "left_anti")
+            .select(
+                "url", "url_hash", "url_sha", "host", "path",
+                url_priority_col(self.seed).alias("priority"),
+                F.lit(r).alias("discovered_round"),
+                F.lit(0).alias("attempt"),
+                F.lit(0).alias("not_before"),
+            )
+        )
+        retry_rows = staged.filter(F.col("disposition") == "retry").select(
+            "url", "url_hash", "url_sha", "host", "path", "priority",
+            "discovered_round",
+            (F.col("attempt") + 1).alias("attempt"),
+            (F.lit(r + 1) + F.col("attempt")).cast("int").alias("not_before"),
+        )
+
+        # appends are independent (each atomic; the lineage row below is
+        # the round's commit marker) → overlap the two real writes; the
+        # documents append adopts the staged ok-partition, zero copy
+        t1 = time.perf_counter()
+        from concurrent.futures import ThreadPoolExecutor
+
+        ok_dir = os.path.join(staging, "disposition=ok")
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(self.resolved.append, resolved_rows),
+                pool.submit(self.frontier.append,
+                            candidates.unionByName(retry_rows)),
+            ]
+            if os.path.isdir(ok_dir):
+                self.documents.append_dir(ok_dir)
+            for f in futs:
+                f.result()
+        t["state_appends"] = round(time.perf_counter() - t1, 3)
+
+        t1 = time.perf_counter()
+        self._bloom_absorb(staged)
+        n_retries = scheduled - n_ok - agg["n_dead"]
+        n_new = self.frontier.read_snapshot_delta().count() - n_retries
+        self._commit_lineage(r, scheduled, n_ok, n_err, n_new,
+                             self._state_digest())
+        t["lineage"] = round(time.perf_counter() - t1, 3)
+        self.next_round = r + 1
+        self.last_timings = t
+        return {"round": r, "scheduled": scheduled, "ok": n_ok,
+                "errors": n_err, "new_urls": n_new}
 
     def _seen_digest(self) -> str:
         """Order-insensitive digest of url_seen for lineage audit,
@@ -325,11 +342,15 @@ class CrawlEngine:
         return f"{self._seen_digest()}:{self.bloom.digest()}"
 
     def _rebuild_seen_digest(self) -> None:
-        row = self.url_seen_df().agg(
-            F.coalesce(F.expr("bit_xor(url_hash)"), F.lit(0)).alias("s"),
+        row = self.resolved.read().agg(
+            F.coalesce(
+                F.expr("bit_xor(case when disposition = 'ok' then url_hash end)"),
+                F.lit(0)).alias("s"),
+            F.count(F.when(F.col("disposition") == "ok", 1)).alias("n_ok"),
             F.count("*").alias("n"),
         ).collect()[0]
-        self._seen_xor, self._seen_n = int(row["s"]), int(row["n"])
+        self._seen_xor, self._seen_n = int(row["s"]), int(row["n_ok"])
+        self._resolved_n = int(row["n"])
 
     def run(self, n_rounds: int) -> list[dict]:
         return [self.run_round() for _ in range(n_rounds)]

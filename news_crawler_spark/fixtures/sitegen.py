@@ -58,6 +58,9 @@ class SiteConfig:
     n_seeds: int = 4              # seed list length (one per host)
     max_attempts: int = 3
     budgets: tuple[int, ...] = (3, 5, 4, 6)   # round-robin per host index
+    richness: int = 1             # text-span multiplier: ~1 KB pages at 1;
+                                  # real news pages are 50-500 KB, so the
+                                  # throughput bench uses a higher value
 
     def pages_on(self, host_idx: int) -> int:
         return self.base_pages * (self.hot_factor if host_idx == 0 else 1)
@@ -135,7 +138,7 @@ def synth_page(cfg: SiteConfig, url: str) -> dict:
         spans.append(("date", kdate, "", offset))
         offset += 1
 
-    n_text = 2 + (h >> 40) % 4
+    n_text = (2 + (h >> 40) % 4) * cfg.richness
     for i in range(n_text):
         th = _h(cfg.seed, url, f"text{i}")
         words = [WORDS[(th >> (5 * j)) % len(WORDS)] for j in range(6)]

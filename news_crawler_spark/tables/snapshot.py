@@ -100,6 +100,16 @@ class SnapshotTable:
         dirs = self._manifest(parent)["dirs"] if parent >= 0 else []
         return self._publish({"id": sid, "parent": parent, "dirs": [*dirs, d]})
 
+    def append_dir(self, path: str) -> int:
+        """Adopt an already-written parquet directory as an append —
+        zero-copy commit (the round's staging write IS the data file;
+        Iceberg's add_files analog). Files may carry extra columns;
+        reads project this table's schema."""
+        parent = self.current_snapshot()
+        sid = parent + 1
+        dirs = self._manifest(parent)["dirs"] if parent >= 0 else []
+        return self._publish({"id": sid, "parent": parent, "dirs": [*dirs, path]})
+
     def overwrite(self, df: DataFrame) -> int:
         parent = self.current_snapshot()
         sid = parent + 1

@@ -40,6 +40,7 @@ def test_bloom_digest_is_rebuild_invariant():
 # ------------------------------------------------------------- kill/resume
 def _mk_engine(spark, state, **kw):
     hosts = spark.createDataFrame(host_rows(CFG), HOSTS)
+    kw.setdefault("bloom_min_resolved", 0)  # force the probe path
     return CrawlEngine(spark, state, hosts, SyntheticFetcher(CFG),
                        seed=CFG.seed, max_attempts=CFG.max_attempts, **kw)
 
