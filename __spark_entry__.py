@@ -383,6 +383,39 @@ def q_sim_cosine_topk(spark, sf_dir):
         "query_id", "neighbor_id", "sim", "rnk")
 
 
+def q_p2_advisory_parse(spark, sf_dir):
+    """P2: RSS-entry normalization (reference advisory.py:50-107) —
+    UTC→Asia/Seoul date, regex date fallback, trim/coalesce defaults."""
+    ev = _t(spark, sf_dir, "events")
+    raw = F.concat(F.lit("  note "), F.col("event_type"),
+                   F.lit(" 2025-03-0"), (F.pmod(F.col("event_id"), F.lit(9)) + 1).cast("string"),
+                   F.lit("  "))
+    return ev.select(
+        "event_id",
+        F.to_date(F.from_utc_timestamp(F.col("ts"), "Asia/Seoul")).alias("seoul_date"),
+        F.trim(raw).alias("summary"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(raw, r"(\d{4}-\d{2}-\d{2})", 1), F.lit("")),
+            F.lit("1970-01-01"),
+        ).cast("date").alias("fallback_date"),
+    )
+
+
+def q_join3_revenue(spark, sf_dir):
+    """Multiway equi-join + agg (the join family SURVEY §2.9 notes the
+    reference lacks): revenue per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization (gap > 30 min), batch window form (streaming twin:
     session_window in streaming/events.py)."""
@@ -506,8 +539,11 @@ def q_embedding_near_dup(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
+    # testdata embeddings are unclustered gaussians (max pairwise cosine
+    # ~0.5), so the "near-dup" band for this fixture is >=0.3; real
+    # corpora use ~0.95 (recall verified with planted pairs in tests)
     return embedding_near_dup_pairs(emb.filter(F.col("vec_id") < 500),
-                                    threshold=0.9, dim=dim)
+                                    threshold=0.3, dim=dim)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -542,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "jaccard_token_pairs": q_jaccard_token_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "p2_advisory_parse": q_p2_advisory_parse,
+        "join3_revenue": q_join3_revenue,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "pivot": q_pivot,
@@ -794,6 +832,27 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY sim DESC, neighbor_id) AS rnk
             FROM scored QUALIFY rnk <= 5
+        """,
+        "p2_advisory_parse": """
+            WITH t AS (
+              SELECT event_id, ts,
+                     '  note ' || event_type || ' 2025-03-0' ||
+                     ((event_id % 9) + 1) || '  ' AS raw
+              FROM events)
+            SELECT event_id,
+                   CAST(ts + INTERVAL 9 HOUR AS DATE) AS seoul_date,
+                   trim(raw) AS summary,
+                   CAST(coalesce(nullif(regexp_extract(raw, '(\\d{4}-\\d{2}-\\d{2})', 1), ''),
+                                 '1970-01-01') AS DATE) AS fallback_date
+            FROM t
+        """,
+        "join3_revenue": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "sessionize": """
             WITH g AS (

@@ -1,0 +1,80 @@
+"""spark-submit entry point.
+
+On a cluster::
+
+    zip -r ncs.zip news_crawler_spark
+    spark-submit --py-files ncs.zip -m news_crawler_spark crawl \
+        --state-dir hdfs://.../crawl_state --rounds 10 --resume
+
+In the sandbox the same command runs on local[N] via the session
+factory. The fixture fetcher is the default (deterministic, offline);
+``--http`` switches to the real urllib fetcher (network required —
+reference model: the online path is opt-in, ``pytest -m network``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="news_crawler_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run crawl rounds against the synthetic web")
+    c.add_argument("--state-dir", required=True)
+    c.add_argument("--rounds", type=int, default=3)
+    c.add_argument("--n-hosts", type=int, default=8)
+    c.add_argument("--pages-per-host", type=int, default=40)
+    c.add_argument("--n-seeds", type=int, default=4)
+    c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--richness", type=int, default=1)
+    c.add_argument("--cpus", type=int, default=None)
+    c.add_argument("--resume", action="store_true",
+                   help="continue from the last complete lineage row")
+    c.add_argument("--http", action="store_true",
+                   help="real HTTP fetcher instead of the fixture web")
+
+    b = sub.add_parser("bench", help="alias for the repo-root bench harness")
+
+    args = p.parse_args(argv)
+    if args.cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+
+    from news_crawler_spark.crawl import CrawlEngine, SyntheticFetcher
+    from news_crawler_spark.crawl.fetch import HttpFetcher
+    from news_crawler_spark.fixtures import SiteConfig, host_rows, seed_rows
+    from news_crawler_spark.schemas import HOSTS
+    from news_crawler_spark.session import get_spark
+
+    spark = get_spark("crawl-cli", cpus=args.cpus)
+    cfg = SiteConfig(seed=args.seed, n_hosts=args.n_hosts,
+                     base_pages=args.pages_per_host, n_seeds=args.n_seeds,
+                     richness=args.richness)
+    fetcher = HttpFetcher() if args.http else SyntheticFetcher(cfg, parse_html=True)
+    hosts = spark.createDataFrame(host_rows(cfg), HOSTS)
+    eng = CrawlEngine(spark, args.state_dir, hosts, fetcher, seed=cfg.seed,
+                      max_attempts=cfg.max_attempts)
+    if args.resume:
+        nxt = eng.resume()
+        print(json.dumps({"resumed_at_round": nxt}))
+    else:
+        eng.init(spark.createDataFrame(seed_rows(cfg),
+                                       "url string, priority double"))
+    for _ in range(args.rounds):
+        print(json.dumps(eng.run_round()))
+    print(json.dumps({
+        "url_seen": eng.url_seen_df().count(),
+        "documents": eng.documents.read().count(),
+        "frontier_rows": eng.frontier.read().count(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

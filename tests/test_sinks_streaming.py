@@ -108,7 +108,9 @@ def test_windowed_aggs_static_equals_streaming(spark, tmp_path):
     static = {(r.w_start, r.event_type): (r.n, r.total)
               for r in windowed_event_aggs(events).collect()}
 
-    stream_df = streaming_event_counts(spark, f"{SF_DIR}", window="1 hour")
+    src = str(tmp_path / "events_dir")  # stream sources need a directory
+    events.write.parquet(src)
+    stream_df = streaming_event_counts(spark, src, window="1 hour")
     q = (stream_df.writeStream.outputMode("complete")
          .format("memory").queryName("ev_counts").start())
     try:
