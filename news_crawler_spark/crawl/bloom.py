@@ -18,6 +18,14 @@ probe function below is shard-local either way.
 The shard digests go into the round's lineage row; resume rebuilds
 the shards from the resolved table and verifies the digest
 (bloom-shard consistency check of SURVEY.md §7.4).
+
+Bloom over cuckoo, deliberately: a cuckoo filter buys deletion and
+slightly better space at high load factors, but the URL-seen set is
+append-only (URLs are never un-seen), inserts here are vectorized
+numpy scatter (cuckoo kick-out loops are per-element), and regrow is
+a rebuild either way — so the bloom's simplicity wins. The shard
+interface (add/probe/digest/snapshot) is filter-agnostic if that
+trade ever flips.
 """
 
 from __future__ import annotations

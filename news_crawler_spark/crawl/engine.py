@@ -328,6 +328,27 @@ class CrawlEngine:
         return {"round": r, "scheduled": scheduled, "ok": n_ok,
                 "errors": n_err, "new_urls": n_new}
 
+    def compact_frontier(self) -> int:
+        """Rewrite the frontier to pending-only rows (resolved slots
+        dropped). The frontier is append-only for cheap atomic rounds;
+        on long crawls resolved rows accumulate and every selection
+        anti-join rescans them — periodic compaction (e.g. every ~50
+        rounds, or when resolved/pending ratio passes ~4x) keeps the
+        scan proportional to actual pending work. Atomic: readers see
+        either the old or the compacted snapshot.
+
+        Rediscovery nuance: after compaction the candidate first-wins
+        anti-join no longer sees resolved URLs, so a re-discovered one
+        may re-enter the frontier — harmless, because selection's
+        (url_sha, attempt) anti-join vs resolved still blocks it from
+        ever being scheduled (verified in tests); it is swept by the
+        next compaction.
+        """
+        pend = self.frontier.read().join(
+            self.resolved.read().select("url_sha", "attempt"),
+            ["url_sha", "attempt"], "left_anti")
+        return self.frontier.overwrite(pend)
+
     def _seen_digest(self) -> str:
         """Order-insensitive digest of url_seen for lineage audit,
         maintained incrementally (xor of url_hash + count) so no

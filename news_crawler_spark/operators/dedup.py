@@ -51,8 +51,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def _token_shingles(text_col: str, n: int) -> F.Column:
-    """Distinct n-gram shingles over whitespace tokens, all native:
-    slice a token array at every start offset."""
+    """Distinct n-gram shingles over whitespace tokens as one array
+    expression. NOTE: inside a HOF lambda the token split re-evaluates
+    per element — prefer :func:`_shingle_rows` on hot paths."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     shingles = F.transform(
@@ -63,6 +64,43 @@ def _token_shingles(text_col: str, n: int) -> F.Column:
     return F.array_distinct(
         F.when(n_sh > 0, shingles).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct (id, shingle) rows via explode + window-lead.
+
+    The array form re-evaluates the token split once *per shingle*
+    inside the transform lambda (measured ~10x at 300-token docs);
+    here the split runs once per doc (Generate barrier), shingles come
+    from lead() over token position — one shuffle on the doc id, fully
+    parallel, and the same shuffle the downstream per-doc aggregation
+    needs anyway.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
+    if n == 1:
+        return tok.select(id_col, F.col("_tok").alias("shingle")).dropDuplicates()
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
+    full = (
+        tok.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"),
+                   F.lead("_tok", n - 1).over(w).alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    # docs shorter than n tokens contribute their whole text once
+    short = (
+        tok.groupBy(id_col)
+        .agg(F.count("*").alias("_n"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                     lambda s: s.getField("_tok")),
+                 " ").alias("shingle"))
+        .filter(F.col("_n") < n)
+        .select(id_col, "shingle")
+    )
+    return full.unionByName(short).dropDuplicates()
 
 
 # double-hashing domain: h1,h2 in [0, 2^31) so h1 + j*h2 stays well
@@ -84,14 +122,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     aggregation — partial min runs map-side, so the shuffle carries
     only num_hashes longs per doc regardless of text size.
     """
-    tok = df.select(
-        F.col(id_col),
-        F.explode(_token_shingles(text_col, shingle_n)).alias("_sh"),
-    )
-    hashed = tok.select(
+    sh = _shingle_rows(df, text_col, id_col, shingle_n)
+    hashed = sh.select(
         id_col,
-        F.pmod(F.xxhash64(F.lit(1), "_sh"), F.lit(_MH_DOMAIN)).alias("_h1"),
-        (F.pmod(F.xxhash64(F.lit(2), "_sh"), F.lit(_MH_DOMAIN)) + 1).alias("_h2"),
+        F.pmod(F.xxhash64(F.lit(1), "shingle"), F.lit(_MH_DOMAIN)).alias("_h1"),
+        (F.pmod(F.xxhash64(F.lit(2), "shingle"), F.lit(_MH_DOMAIN)) + 1).alias("_h2"),
     )
     mins = hashed.groupBy(id_col).agg(*[
         F.min(F.col("_h1") + F.lit(j) * F.col("_h2")).alias(f"_m{j}")
@@ -129,6 +164,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             ).alias("band_id", "band_hash"),
         )
     )
+    # self-join branches don't share work in Spark (no common-subplan
+    # reuse across join sides) — persist the band table so signatures
+    # compute once, not once per side (measured 4 scans without this)
+    band = band.persist()
     a = band.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = band.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     return (
@@ -148,10 +187,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Quadratic within a shingle bucket — use after LSH candidate
     generation at scale, or on bounded subsets.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(_token_shingles(text_col, shingle_n)).alias("shingle"),
-    )
+    sh = _shingle_rows(df, text_col, id_col, shingle_n).persist()
+    # used by sizes + both join sides
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -210,7 +247,8 @@ def simhash_buckets(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", band_bits: int = 16) -> DataFrame:
     """SimHash near-dup candidates: docs sharing any 16-bit band of
     their 64-bit simhash (Hamming-distance blocking)."""
-    sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
+    # persist: the pandas-UDF hash must not run once per join side
+    sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash")).persist()
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sh.select(

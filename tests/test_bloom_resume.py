@@ -88,6 +88,23 @@ def test_resume_validates_bloom_digest(spark, tmp_path):
     assert eng2.bloom.digest() == committed
 
 
+def test_compaction_mid_crawl_preserves_semantics(spark, tmp_path):
+    """compact_frontier between rounds must not change the crawl: the
+    slot anti-join keeps rediscovered-resolved URLs unscheduled."""
+    eng = _mk_engine(spark, str(tmp_path / "state"))
+    eng.init(spark.createDataFrame(seed_rows(CFG), "url string, priority double"))
+    eng.run(2)
+    before = eng.frontier.read().count()
+    eng.compact_frontier()
+    assert eng.frontier.read().count() <= before
+    eng.run(2)
+
+    oracle = CrawlOracle(CFG).run(4)
+    log = sorted((r["round"], r.host, r.seq, r.url)
+                 for r in eng.crawl_log_df().collect())
+    assert log == sorted(oracle.crawl_log)
+
+
 def test_bloom_off_equals_bloom_on(spark, tmp_path):
     """The bloom is a router, not a semantic: same crawl either way."""
     a = _mk_engine(spark, str(tmp_path / "a"), use_bloom=True)
