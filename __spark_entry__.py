@@ -264,6 +264,14 @@ def q_u3_except(spark, sf_dir):
     return a.subtract(b)
 
 
+def q_u4_intersect(spark, sf_dir):
+    """Intersect (SURVEY §2.10 'absent in reference' row)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
 def q_l1_sort_limit(spark, sf_dir):
     """L1/L2: global top-k = TakeOrderedAndProject, stable tiebreak."""
     return top_k_global(
@@ -565,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_semijoin": q_j2_semijoin,
         "u2_union_distinct": q_u2_union_distinct,
         "u3_except": q_u3_except,
+        "u4_intersect": q_u4_intersect,
         "l1_sort_limit": q_l1_sort_limit,
         "a1_counts_per_kind": q_a1_counts_per_kind,
         "a2_group_metrics": q_a2_group_metrics,
@@ -727,6 +736,11 @@ def oracle_sql() -> dict[str, str]:
         "u3_except": """
             SELECT user_id FROM events WHERE event_type = 'click'
             EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        """,
+        "u4_intersect": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
             SELECT user_id FROM events WHERE event_type = 'error'
         """,
         "l1_sort_limit": """

@@ -67,6 +67,36 @@ def run_query_suite(spark) -> dict[str, float]:
     return out
 
 
+def _parse_ref_work(args) -> int:
+    cfg, lo, hi = args
+    from news_crawler_spark.fixtures.sitegen import synth_html
+    from news_crawler_spark.functions.htmlspans import html_to_spans
+
+    n = 0
+    for i in range(lo, hi):
+        _, html = synth_html(cfg, f"http://h{i % 200:04d}.test/p{i // 200}")
+        n += len(html_to_spans(html))
+    return n
+
+
+def _parse_reference(procs: int, n_pages: int = 16000) -> float:
+    """Pure-CPU fetch+parse throughput (pages/s) via raw
+    multiprocessing — the hardware/regime reference the engine's
+    scaling is judged against (no Spark, no shuffles, no state)."""
+    import multiprocessing as mp
+
+    from news_crawler_spark.fixtures.sitegen import SiteConfig
+
+    cfg = SiteConfig(seed=42, n_hosts=200, base_pages=24000, hot_factor=4,
+                     richness=2)
+    chunk = n_pages // procs
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as pool:
+        pool.map(_parse_ref_work, [(cfg, i * chunk, (i + 1) * chunk)
+                                   for i in range(procs)])
+    return round(n_pages / (time.perf_counter() - t0), 1)
+
+
 def crawl_throughput(cpus: int, n_rounds: int = 2, n_hosts: int = 200,
                      seeds_per_host: int = 9000, richness: int = 2) -> dict:
     """URLs scheduled+fetched/sec over a multi-round synthetic crawl.
@@ -141,6 +171,9 @@ def crawl_throughput(cpus: int, n_rounds: int = 2, n_hosts: int = 200,
             "urls_per_sec": round(scheduled / wall, 1),
             "best_round_urls_per_sec": max(warm),
             "round_urls_per_sec": per_round,
+            # hardware/regime reference: raw multiprocess parse rate at
+            # this proc count, measured alongside the crawl
+            "parse_ref_pages_per_sec": _parse_reference(cpus),
         }
     finally:
         shutil.rmtree(state, ignore_errors=True)
@@ -220,10 +253,19 @@ def main() -> None:
                 / (hi["cpus"] / lo["cpus"]), 3)
             pairs.append({"low": lo, "high": hi, "scaling_efficiency": eff})
         best = max(pairs, key=lambda p: p["scaling_efficiency"])
+        # hardware-normalized: share of the parallel speedup the raw
+        # CPU workload achieved (same moment, same machine) that the
+        # full engine round captured
+        hw = ((best["high"]["parse_ref_pages_per_sec"]
+               / best["low"]["parse_ref_pages_per_sec"])
+              / (best["high"]["cpus"] / best["low"]["cpus"]))
         result["crawl"] = {
             "low": best["low"],
             "high": best["high"],
             "scaling_efficiency": best["scaling_efficiency"],
+            "hw_parse_scaling": round(hw, 3),
+            "normalized_efficiency": round(
+                best["scaling_efficiency"] / hw, 3) if hw else None,
             "pairs": [p["scaling_efficiency"] for p in pairs],
         }
 
