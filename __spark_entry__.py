@@ -526,6 +526,76 @@ def q_digest_plan(spark, sf_dir):
                        "2025-06-02", limit=10)
 
 
+def q_window_funcs(spark, sf_dir):
+    """Window-function family: rank/dense_rank/lag/lead/ntile."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id", "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.lag("value", 1).over(w), 2).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 2).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_array_ops(spark, sf_dir):
+    """Array functions over tokenized text: distinct/sort/slice/contains."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    uniq_sorted = F.array_sort(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(uniq_sorted).alias("n_unique"),
+        F.concat_ws("|", F.slice(uniq_sorted, 1, 3)).alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """Scalar string family: upper/lpad/reverse/substr/replace/strpos."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_pad"),
+        F.reverse("c_name").alias("name_rev"),
+        F.substring("c_name", 1, 8).alias("name_pfx"),
+        F.regexp_replace("c_name", "0", "#").alias("name_masked"),
+        F.instr("c_name", "1").alias("pos_one"),
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (the remaining multi-group aggregate form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS total, count(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+def q_doc_pipeline(spark, sf_dir):
+    """Composed training-data pipeline: quality filter → fingerprint →
+    first-wins dedup → per-language counts, in one declarative plan."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang",
+        token_count("text").alias("n_tokens"),
+        fingerprint("text").alias("fp"),
+    ).filter(F.col("n_tokens") >= 20)
+    keep = first_wins_dedup(staged, ["fp"], [F.col("doc_id").asc()])
+    return keep.groupBy("lang").agg(
+        F.count("*").alias("kept_docs"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+    )
+
+
 # -- rows-only entries (no ANSI-SQL equivalent: xxhash64 / pandas UDFs) -----
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -597,6 +667,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "korean_date_parse": q_korean_date_parse,
         "sid_assignment": q_sid_assignment,
         "digest_plan": q_digest_plan,
+        "window_funcs": q_window_funcs,
+        "array_ops": q_array_ops,
+        "string_funcs": q_string_funcs,
+        "grouping_sets": q_grouping_sets,
+        "doc_pipeline": q_doc_pipeline,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -942,6 +1017,55 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY published DESC, title, link) = 1)
             SELECT title, link, published FROM deduped
             ORDER BY published DESC, title, link LIMIT 10
+        """,
+        "window_funcs": """
+            SELECT user_id, event_id,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   round(lag(value, 1) OVER w, 2) AS prev_value,
+                   round(lead(value, 1) OVER w, 2) AS next_value,
+                   ntile(4) OVER w AS quartile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "array_ops": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_unique,
+                   array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first3,
+                   list_contains(toks, 'the') AS has_the
+            FROM t
+        """,
+        "string_funcs": """
+            SELECT c_custkey,
+                   upper(c_mktsegment) AS seg_upper,
+                   lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+                   reverse(c_name) AS name_rev,
+                   substring(c_name, 1, 8) AS name_pfx,
+                   regexp_replace(c_name, '0', '#', 'g') AS name_masked,
+                   strpos(c_name, '1') AS pos_one
+            FROM customer
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) AS total, count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "doc_pipeline": """
+            WITH staged AS (
+              SELECT doc_id, lang,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                     sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              FROM documents),
+            filtered AS (SELECT * FROM staged WHERE n_tokens >= 20),
+            keep AS (
+              SELECT * FROM filtered
+              QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+            SELECT lang, count(*) AS kept_docs,
+                   round(avg(n_tokens), 2) AS avg_tokens
+            FROM keep GROUP BY lang
         """,
         # dedup_minhash_lsh / dedup_simhash: intentionally omitted —
         # xxhash64/blake2b signatures have no DuckDB equivalent; the
