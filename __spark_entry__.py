@@ -8,9 +8,10 @@ point could differ in the last ulp.
 
 Span-sequence / crawl-order / URL-seen invariants (the BASELINE
 metrics) are verified against the pure-Python reference oracle in
-``tests/test_crawl_e2e.py`` — a *stronger* check than SQL — so the
-crawl-state operators appear here as rows-only entries (minhash/
-simhash rely on xxhash64, which DuckDB lacks).
+``tests/test_crawl_e2e.py`` — a *stronger* check than SQL. Every
+queries() entry, including the near-dup family (whose hashes are
+sha256-substring-derived in both engines), carries a value-exact
+DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -596,32 +597,146 @@ def q_doc_pipeline(spark, sf_dir):
     )
 
 
-# -- rows-only entries (no ANSI-SQL equivalent: xxhash64 / pandas UDFs) -----
+# -- near-dup family: sha2-derived hashes so the DuckDB oracle can
+#    replay every stage (signatures, banding, bucketing) value-exactly
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (xxhash64-based — no SQL oracle;
-    verified against planted dups in tests/test_operators.py)."""
+    """MinHash+LSH near-dup candidate pairs. Signature hashes are
+    sha256-substring-derived (operators/dedup.py), so the oracle
+    replays the full shingle→minhash→band→bucket-join pipeline."""
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash banding candidates (pandas-UDF hash — rows-only check)."""
+    """SimHash banding candidates — fully native (sha2 token hashes,
+    SUM bit-votes, band self-join), oracle-replayable."""
     return simhash_buckets(_t(spark, sf_dir, "documents"))
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via hyperplane LSH blocking
-    (seeded pandas-UDF signatures — rows-only check; recall verified
-    against brute force in tests/test_operators.py)."""
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking
+    (sha2-derived ±1 Rademacher planes — bucketing and cosine both
+    oracle-replayable)."""
     from news_crawler_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
     # testdata embeddings are unclustered gaussians (max pairwise cosine
     # ~0.5), so the "near-dup" band for this fixture is >=0.3; real
     # corpora use ~0.95 (recall verified with planted pairs in tests)
-    return embedding_near_dup_pairs(emb.filter(F.col("vec_id") < 500),
-                                    threshold=0.3, dim=dim)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return embedding_near_dup_pairs(emb, threshold=0.3, dim=64, n_planes=6)
+
+
+# -- oracle-SQL generators for the near-dup family (the SQL mirrors the
+#    Spark pipeline hash-for-hash; loops keep the 32/64-column
+#    aggregations readable)
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8,
+                        shingle_n: int = 3) -> str:
+    rows = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(_h1 + {j}*_h2) AS m{j}" for j in range(num_hashes))
+    band_selects = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || ',' || ".join(f"CAST(m{b * rows + j} AS VARCHAR)"
+                             for j in range(rows))
+        + " AS band_hash FROM sigs"
+        for b in range(bands))
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) >= {shingle_n}
+                              THEN list_transform(
+                                     range(1, len(t) - {shingle_n - 2}),
+                                     i -> array_to_string(t[i:i+{shingle_n - 1}], ' '))
+                              ELSE [array_to_string(t, ' ')] END) AS shingle
+                FROM toks)),
+            hashed AS (
+              SELECT doc_id,
+                     ('0x' || substr(sha256(shingle), 1, 15))::BIGINT
+                        % 2147483648 AS _h1,
+                     ('0x' || substr(sha256(shingle), 16, 15))::BIGINT
+                        % 2147483648 + 1 AS _h2
+              FROM sh),
+            sigs AS (
+              SELECT doc_id,
+                   {mins}
+              FROM hashed GROUP BY doc_id),
+            bands AS (
+              {band_selects})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band_id, band_hash)
+            WHERE a.doc_id < b.doc_id
+        """
+
+
+def _simhash_oracle(band_bits: int = 16) -> str:
+    votes = ",\n                     ".join(
+        f"sum(CASE WHEN (_h{'l' if b < 32 else 'h'} >> {b % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64))
+    band_selects = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, {k} AS band_id, "
+        + " + ".join(f"(CASE WHEN v{k * band_bits + j} > 0 THEN {1 << j}"
+                     " ELSE 0 END)" for j in range(band_bits))
+        + " AS band_val FROM votes"
+        for k in range(64 // band_bits))
+    return f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+              FROM documents),
+            hashed AS (
+              SELECT doc_id,
+                     ('0x' || substr(sha256(t), 1, 8))::BIGINT AS _hl,
+                     ('0x' || substr(sha256(t), 9, 8))::BIGINT AS _hh
+              FROM tok),
+            votes AS (
+              SELECT doc_id,
+                     {votes}
+              FROM hashed GROUP BY doc_id),
+            bands AS (
+              {band_selects})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band_id, band_val)
+            WHERE a.doc_id < b.doc_id
+        """
+
+
+def _embedding_near_dup_oracle(dim: int = 64, n_planes: int = 6,
+                               seed: int = 42, threshold: float = 0.3) -> str:
+    from news_crawler_spark.operators.similarity import rademacher_signs
+
+    planes = rademacher_signs(dim, n_planes, seed)
+    # each plane's dot product is an explicit left-assoc ±e[d] chain —
+    # identical fold order to Spark's zip_with/aggregate, so the sign
+    # test is bit-exact
+    bucket = " + ".join(
+        "(CASE WHEN (0.0 "
+        + " ".join(f"{'+' if s > 0 else '-'} e[{d + 1}]"
+                   for d, s in enumerate(row))
+        + f") > 0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(planes))
+    return f"""
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE vec_id < 500),
+            bk AS (
+              SELECT vec_id, e,
+                     {bucket} AS bucket
+              FROM base)
+            SELECT id_a, id_b, sim FROM (
+              SELECT t1.vec_id AS id_a, t2.vec_id AS id_b,
+                     round(list_dot_product(t1.e, t2.e)
+                           / (sqrt(list_dot_product(t1.e, t1.e))
+                              * sqrt(list_dot_product(t2.e, t2.e))), 6) AS sim
+              FROM bk t1 JOIN bk t2
+                ON t1.bucket = t2.bucket AND t1.vec_id < t2.vec_id)
+            WHERE sim >= {threshold}
+        """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -827,7 +942,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "a2_group_metrics": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 2) AS avg_chars
             FROM documents GROUP BY lang
         """,
@@ -952,8 +1067,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, event_id,
-                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_no
+                   CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
             FROM g
         """,
         "asof_join": """
@@ -1067,8 +1182,9 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_tokens), 2) AS avg_tokens
             FROM keep GROUP BY lang
         """,
-        # dedup_minhash_lsh / dedup_simhash: intentionally omitted —
-        # xxhash64/blake2b signatures have no DuckDB equivalent; the
-        # driver records rows-only checks and tests/test_operators.py
-        # verifies planted near-dup pairs.
+        # near-dup family: hash derivations are sha256 substrings in
+        # BOTH engines, so these replay the full pipelines value-exactly
+        "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "embedding_near_dup": _embedding_near_dup_oracle(),
     }

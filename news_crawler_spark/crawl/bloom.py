@@ -97,10 +97,62 @@ class BloomShards:
             f"{self._key_xor}|{self._key_n}|{self.n_shards}".encode()
         ).hexdigest()[:16]
 
+    def absorb_blobs(self, rows) -> None:
+        """OR distributed-built shard blobs (see :func:`build_shard_blobs`)
+        into this shard set. Blob m_bits must equal this set's m_bits."""
+        for r in rows:
+            blob = np.frombuffer(r["bits"], dtype=np.uint8)
+            if len(blob) != len(self.bits[r["shard_id"]]):
+                raise ValueError("shard blob size mismatch (m_bits changed?)")
+            np.bitwise_or(self.bits[r["shard_id"]], blob,
+                          out=self.bits[r["shard_id"]])
+            self.counts[r["shard_id"]] += int(r["count"])
+            self._key_xor ^= int(np.uint64(np.int64(r["key_xor"])))
+            self._key_n += int(r["count"])
+
     def snapshot(self) -> dict:
         """Pickle-friendly payload for broadcast."""
         return {"n_shards": self.n_shards, "m_bits": self.m_bits,
                 "bits": self.bits}
+
+
+def build_shard_blobs(df: DataFrame, n_shards: int, m_bits: int) -> list:
+    """Distributed shard build: groupBy ``shard_id`` → applyInPandas
+    builds each shard's bit array executor-side; only the blobs
+    (n_shards × m_bits/8 bytes) reach the driver — never the keys.
+
+    At 10^10 resolved slots the old driver-side path collected ~80 GB
+    of slot hashes through ``toPandas``; this build shuffles keys once
+    by shard and ships back fixed-size blobs. ``df`` needs
+    url_hash + attempt columns.
+    """
+    from pyspark.sql import types as T
+
+    keyed = df.select(slot_hash_col().alias("h")).withColumn(
+        "shard_id", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+
+    out_schema = T.StructType([
+        T.StructField("shard_id", T.IntegerType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+        T.StructField("count", T.LongType(), False),
+        T.StructField("key_xor", T.LongType(), False),
+    ])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["h"].to_numpy().astype(np.int64)
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        pos = _positions(keys, m_bits).ravel()
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        xor = np.int64(np.bitwise_xor.reduce(keys.astype(np.uint64)))
+        return pd.DataFrame({
+            "shard_id": [int(pdf["shard_id"].iloc[0])],
+            "bits": [bits.tobytes()],
+            "count": [len(keys)],
+            "key_xor": [xor],
+        })
+
+    return [r.asDict() for r in
+            keyed.groupBy("shard_id").applyInPandas(build, out_schema).collect()]
 
 
 def probe_negative_mask(snap: dict, keys: np.ndarray) -> np.ndarray:

@@ -45,11 +45,17 @@ from pyspark.sql import functions as F
 
 from news_crawler_spark import schemas
 from news_crawler_spark.crawl import frontier as frontier_ops
-from news_crawler_spark.crawl.bloom import BloomShards, slot_hash_col, split_by_bloom
+from news_crawler_spark.crawl.bloom import (
+    BloomShards,
+    build_shard_blobs,
+    split_by_bloom,
+)
 from news_crawler_spark.crawl.fetch import Fetcher, extract_links, fetch_round
 from news_crawler_spark.tables import SnapshotTable
 
-RETRYABLE = (503, -1)
+RETRYABLE = (503, -1)  # reference retry.py triggers; informational only —
+# the attempt cap applies to EVERY non-ok/non-404 status (an unknown
+# status must not retry unboundedly)
 
 
 def url_priority_col(seed: int, url_col: str = "url") -> F.Column:
@@ -64,12 +70,14 @@ class CrawlEngine:
     def __init__(self, spark: SparkSession, state_dir: str, hosts: DataFrame,
                  fetcher: Fetcher, seed: int = 42, max_attempts: int = 3,
                  n_salts: int = 8, use_bloom: bool = True,
-                 bloom_shards: int = 16, bloom_min_resolved: int = 2_000_000):
+                 bloom_shards: int = 16, bloom_min_resolved: int = 2_000_000,
+                 retry_jitter_span: int = 0):
         self.spark = spark
         self.hosts = hosts
         self.fetcher = fetcher
         self.seed = seed
         self.max_attempts = max_attempts
+        self.retry_jitter_span = retry_jitter_span
         self.n_salts = n_salts
         self.bloom = BloomShards(n_shards=bloom_shards) if use_bloom else None
         self._bloom_bc = None
@@ -180,17 +188,16 @@ class CrawlEngine:
         )
         return negatives.unionByName(positives)
 
-    def _bloom_absorb(self, fetched: DataFrame) -> None:
-        """Add this round's consumed slots to the shards; regrow from the
-        resolved table if any shard passed capacity."""
+    def _bloom_absorb_blobs(self, blobs: list) -> None:
+        """OR this round's distributed-built delta shards into the live
+        set; regrow (full distributed rebuild at 4x) if any shard
+        passed capacity. Only shard blobs ever reach the driver."""
         if self.bloom is None:
             return
-        import numpy as np
-
-        keys = fetched.select(slot_hash_col().alias("h")).toPandas()["h"].to_numpy()
-        self.bloom.add(keys)
+        self.bloom.absorb_blobs(blobs)
         if self.bloom.needs_regrow():
             self._rebuild_bloom(capacity=self.bloom.capacity * 4)
+            return  # rebuild already rebroadcast
         if self._bloom_bc is not None:
             self._bloom_bc.destroy()
         self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom.snapshot())
@@ -198,19 +205,35 @@ class CrawlEngine:
     def _rebuild_bloom(self, capacity: int | None = None) -> None:
         """Full rebuild from the resolved table (resume / regrow path).
 
-        Sandbox: collect slot hashes to the driver (8 B/slot). At
-        10^10, the same rebuild runs distributed: applyInPandas per
-        shard_id builds each shard's bit array from its co-partitioned
-        resolved bucket; only the blobs come back.
+        Runs as a Spark job: applyInPandas per shard_id builds each
+        shard's bit array executor-side (crawl.bloom.build_shard_blobs);
+        only the fixed-size blobs come back to the driver — at 10^10
+        resolved slots the keys (~80 GB) never leave the executors.
         """
         cap = capacity or (self.bloom.capacity if self.bloom else 1 << 20)
         self.bloom = BloomShards(n_shards=self.bloom.n_shards, capacity=cap)
-        keys = (self.resolved.read().select(slot_hash_col().alias("h"))
-                .toPandas()["h"].to_numpy())
-        self.bloom.add(keys)
+        self.bloom.absorb_blobs(
+            build_shard_blobs(self.resolved.read().select("url_hash", "attempt"),
+                              self.bloom.n_shards, self.bloom.m_bits))
         if self._bloom_bc is not None:
             self._bloom_bc.destroy()
         self._bloom_bc = self.spark.sparkContext.broadcast(self.bloom.snapshot())
+
+    def _retry_gap_col(self) -> F.Column:
+        """Exponential backoff in round units (reference utils/retry.py:
+        29-36: ``delay * backoff**attempt``, base 1, x2): a slot that
+        failed attempt ``a`` (0-based) in round r retries no earlier
+        than ``r + 2**a`` — gaps 1, 2, 4, ... Optional deterministic
+        seeded jitter (reference's ``±jitter``) adds 0..span rounds,
+        replayable by the Python oracle via the same sha256 derivation."""
+        gap = F.expr("shiftleft(1, attempt)")
+        if self.retry_jitter_span > 0:
+            digest = F.sha2(F.concat_ws(
+                "|", F.lit(str(self.seed)), F.col("url"),
+                F.concat(F.lit("retry"), F.col("attempt").cast("string"))), 256)
+            u60 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+            gap = gap + F.pmod(u60, F.lit(self.retry_jitter_span + 1))
+        return gap
 
     # -- the round DAG ----------------------------------------------------
     def run_round(self, round_no: int | None = None) -> dict:
@@ -225,12 +248,16 @@ class CrawlEngine:
         # downstream reads staged columns (spans pruned away unless
         # needed), and the ok-partition is adopted zero-copy as the
         # documents append — no memory-cache serialization of fat span
-        # rows, no second spans write.
+        # rows, no second spans write. Round counters ride the same
+        # write as an Observation (CollectMetrics) — no second agg job.
         t1 = time.perf_counter()
-        exhausted = F.col("status").isin(list(RETRYABLE)) & (
-            F.col("attempt") + 1 >= self.max_attempts
+        # attempt cap applies to EVERY non-ok/non-404 disposition: an
+        # unknown status (e.g. 204 from a real fetcher) must exhaust
+        # too, never retry unboundedly
+        exhausted = F.col("attempt") + 1 >= self.max_attempts
+        is_dead = (F.col("status") == 404) | (
+            (F.col("status") != 200) & exhausted
         )
-        is_dead = (F.col("status") == 404) | exhausted
         disposition = (
             F.when(F.col("status") == 200, "ok")
             .when(is_dead, "dead")
@@ -238,34 +265,45 @@ class CrawlEngine:
         )
         import uuid as _uuid
 
+        from pyspark.sql import Observation
+
         staging = os.path.join(self.documents.data_dir,
                                f"staging-{r:08d}-{_uuid.uuid4().hex[:8]}")
+        obs = Observation()
         (fetched
          .withColumn("doc_id", F.col("url"))
          .withColumn("disposition", disposition)
+         .observe(
+             obs,
+             F.count(F.lit(1)).alias("n"),
+             F.count(F.when(F.col("disposition") == "ok", 1)).alias("n_ok"),
+             F.count(F.when(F.col("disposition") == "dead", 1)).alias("n_dead"),
+             F.coalesce(
+                 F.expr("bit_xor(case when disposition = 'ok' then url_hash end)"),
+                 F.lit(0),
+             ).alias("ok_xor"),
+         )
          .write.partitionBy("disposition").parquet(staging))
-        staged = self.spark.read.option("basePath", staging).parquet(staging)
+        agg = obs.get
+        scheduled, n_ok = agg["n"], agg["n_ok"]
         t["fetch_stage_write"] = round(time.perf_counter() - t1, 3)
 
-        t1 = time.perf_counter()
-        agg = staged.agg(
-            F.count("*").alias("n"),
-            F.count(F.when(F.col("disposition") == "ok", 1)).alias("n_ok"),
-            F.count(F.when(F.col("disposition") == "dead", 1)).alias("n_dead"),
-            F.coalesce(
-                F.expr("bit_xor(case when disposition = 'ok' then url_hash end)"),
-                F.lit(0),
-            ).alias("ok_xor"),
-        ).collect()[0]
-        scheduled, n_ok = agg["n"], agg["n_ok"]
-        t["agg"] = round(time.perf_counter() - t1, 3)
         if scheduled == 0:
+            # zero-work round (frontier exhausted / all hosts gated /
+            # backoff gap): nothing staged, nothing to append — still a
+            # legal round; lineage marks it so resume stays monotone
             import shutil as _shutil
 
             _shutil.rmtree(staging, ignore_errors=True)
+            self._commit_lineage(r, 0, 0, 0, 0, self._state_digest())
             self.next_round = r + 1
             self.last_timings = t
             return {"round": r, "scheduled": 0, "ok": 0, "errors": 0, "new_urls": 0}
+
+        # explicit schema: never infer from staged files (a partition
+        # dir may be absent — e.g. no retries this round)
+        staged = (self.spark.read.schema(schemas.STAGED)
+                  .option("basePath", staging).parquet(staging))
 
         resolved_rows = staged.select(
             "url_hash", "url_sha", "url", "host", "seq",
@@ -294,32 +332,49 @@ class CrawlEngine:
             "url", "url_hash", "url_sha", "host", "path", "priority",
             "discovered_round",
             (F.col("attempt") + 1).alias("attempt"),
-            (F.lit(r + 1) + F.col("attempt")).cast("int").alias("not_before"),
+            (F.lit(r) + self._retry_gap_col()).cast("int").alias("not_before"),
         )
 
         # appends are independent (each atomic; the lineage row below is
-        # the round's commit marker) → overlap the two real writes; the
-        # documents append adopts the staged ok-partition, zero copy
+        # the round's commit marker) → overlap the two real writes and
+        # the bloom delta-shard build (all read the immutable staging
+        # dir); the documents append adopts the staged ok-partition,
+        # zero copy. New-URL count rides the frontier append as an
+        # Observation — no separate snapshot-delta count job.
         t1 = time.perf_counter()
         from concurrent.futures import ThreadPoolExecutor
 
+        obs_frontier = Observation()
+        frontier_append = (
+            candidates.unionByName(retry_rows)
+            .observe(obs_frontier,
+                     F.count(F.when(F.col("attempt") == 0, 1)).alias("n_new"))
+        )
         ok_dir = os.path.join(staging, "disposition=ok")
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
                 pool.submit(self.resolved.append, resolved_rows),
-                pool.submit(self.frontier.append,
-                            candidates.unionByName(retry_rows)),
+                pool.submit(self.frontier.append, frontier_append),
             ]
+            blob_fut = (
+                pool.submit(build_shard_blobs,
+                            staged.select("url_hash", "attempt"),
+                            self.bloom.n_shards, self.bloom.m_bits)
+                if self.bloom is not None else None
+            )
             if os.path.isdir(ok_dir):
                 self.documents.append_dir(ok_dir)
             for f in futs:
                 f.result()
+            blobs = blob_fut.result() if blob_fut is not None else None
         t["state_appends"] = round(time.perf_counter() - t1, 3)
 
         t1 = time.perf_counter()
-        self._bloom_absorb(staged)
-        n_retries = scheduled - n_ok - agg["n_dead"]
-        n_new = self.frontier.read_snapshot_delta().count() - n_retries
+        if blobs is not None:
+            # absorb after the resolved append: a regrow rebuild reads
+            # the resolved table, which must already include this round
+            self._bloom_absorb_blobs(blobs)
+        n_new = int(obs_frontier.get["n_new"])
         self._commit_lineage(r, scheduled, n_ok, n_err, n_new,
                              self._state_digest())
         t["lineage"] = round(time.perf_counter() - t1, 3)

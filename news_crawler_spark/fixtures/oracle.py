@@ -62,10 +62,23 @@ class OracleResult:
     pending_after: dict[str, PendingEntry] = field(default_factory=dict)
 
 
+def retry_gap(seed: int, url: str, attempt: int, jitter_span: int = 0) -> int:
+    """Exponential backoff in round units (reference utils/retry.py:29-36):
+    a slot that failed attempt ``a`` retries after 2**a rounds (gaps
+    1, 2, 4, ...) plus optional deterministic seeded jitter — the exact
+    twin of CrawlEngine._retry_gap_col."""
+    gap = 1 << attempt
+    if jitter_span > 0:
+        d = hashlib.sha256(f"{seed}|{url}|retry{attempt}".encode()).hexdigest()
+        gap += int(d[:15], 16) % (jitter_span + 1)
+    return gap
+
+
 class CrawlOracle:
-    def __init__(self, cfg: SiteConfig):
+    def __init__(self, cfg: SiteConfig, retry_jitter_span: int = 0):
         self.cfg = cfg
         self.hosts = {h["host"]: h for h in host_rows(cfg)}
+        self.retry_jitter_span = retry_jitter_span
 
     def _disallowed(self, host: str, path: str) -> bool:
         h = self.hosts.get(host)
@@ -130,7 +143,9 @@ class CrawlOracle:
                 elif entry.attempt + 1 < cfg.max_attempts:
                     pending[url] = PendingEntry(
                         entry.priority, entry.discovered_round,
-                        entry.attempt + 1, r + 1 + entry.attempt,
+                        entry.attempt + 1,
+                        r + retry_gap(cfg.seed, url, entry.attempt,
+                                      self.retry_jitter_span),
                     )
                 else:
                     dead[url] = r

@@ -156,7 +156,8 @@ def synth_page(cfg: SiteConfig, url: str) -> dict:
         lh = _h(cfg.seed, url, f"link{k}")
         roll = lh % 100
         if roll < 60:  # same-host absolute-path (relative) link — exercises P10
-            tgt_page = (page_idx + 1 + (lh >> 8) % (cfg.pages_on(host_idx) - 1)) % cfg.pages_on(host_idx)
+            # max(1, ...): a 1-page host would otherwise divide by zero
+            tgt_page = (page_idx + 1 + (lh >> 8) % max(1, cfg.pages_on(host_idx) - 1)) % cfg.pages_on(host_idx)
             ref = f"/p{tgt_page}"
         elif roll < 90:  # cross-host absolute link
             tgt_host = (host_idx + 1 + (lh >> 8) % max(1, cfg.n_hosts - 1)) % cfg.n_hosts

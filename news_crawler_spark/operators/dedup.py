@@ -114,19 +114,28 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """MinHash signature per doc via double hashing:
     sig[j] = min over shingles of (h1(s) + j*h2(s)).
 
+    h1/h2 are 60-bit substrings of sha256(shingle) pmod 2^31 — one
+    digest per distinct shingle, long arithmetic only. sha2 over
+    xxhash64 deliberately: any engine (the DuckDB correctness oracle
+    included) can replay ``('0x'||substr(sha256(s),1,15))::BIGINT``,
+    so the whole near-dup pipeline is value-checkable, not rows-only.
+
     Shape chosen for scale AND to defeat CollapseProject: shingles are
     *exploded* to rows (a Generate barrier — the expensive shingle
     construction runs exactly once; an inline transform-over-j lambda
     would recompute it num_hashes times, a measured 10x slowdown),
-    each shingle is hashed twice, and the signature is a groupBy
+    each shingle is hashed once, and the signature is a groupBy
     aggregation — partial min runs map-side, so the shuffle carries
     only num_hashes longs per doc regardless of text size.
     """
     sh = _shingle_rows(df, text_col, id_col, shingle_n)
+    digest = F.sha2(F.col("shingle"), 256)
     hashed = sh.select(
         id_col,
-        F.pmod(F.xxhash64(F.lit(1), "shingle"), F.lit(_MH_DOMAIN)).alias("_h1"),
-        (F.pmod(F.xxhash64(F.lit(2), "shingle"), F.lit(_MH_DOMAIN)) + 1).alias("_h2"),
+        F.pmod(F.conv(F.substring(digest, 1, 15), 16, 10).cast("long"),
+               F.lit(_MH_DOMAIN)).alias("_h1"),
+        (F.pmod(F.conv(F.substring(digest, 16, 15), 16, 10).cast("long"),
+                F.lit(_MH_DOMAIN)) + 1).alias("_h2"),
     )
     mins = hashed.groupBy(id_col).agg(*[
         F.min(F.col("_h1") + F.lit(j) * F.col("_h2")).alias(f"_m{j}")
@@ -143,9 +152,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            bands: int = 8, shingle_n: int = 3) -> DataFrame:
     """MinHash + LSH banding → candidate near-dup pairs (id_a < id_b).
 
-    shingle → minhash → band-hash → bucket self-join. Docs land in
+    shingle → minhash → band-key → bucket self-join. Docs land in
     ``bands`` buckets each, so the shuffle is O(docs × bands); only
-    same-bucket docs are paired. Jaccard-verify candidates with
+    same-bucket docs are paired. The band key is the signature slice
+    itself (joined as a string) — engine-agnostic, so the oracle can
+    replay it; at truly huge band tables swap in a fixed-width hash of
+    the same string. Jaccard-verify candidates with
     :func:`ngram_jaccard_pairs` when exactness matters.
     """
     rows_per_band = num_hashes // bands
@@ -157,8 +169,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             id_col,
             F.posexplode(
                 F.array(*[
-                    F.xxhash64(F.concat_ws(
-                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)))
+                    F.concat_ws(
+                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
                     for b in range(bands)
                 ])
             ).alias("band_id", "band_hash"),
@@ -200,66 +212,78 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # threshold on the UNROUNDED similarity; round only in the final
+    # projection — rounding first would admit borderline pairs (e.g.
+    # 0.4999997 at threshold 0.5) the exact-SQL oracle rejects
+    j = (F.col("n_inter").cast("double")
+         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"))
     return (
         inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(j >= threshold)
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
     )
 
 
-def simhash_udf(num_bits: int = 64):
-    """Vectorized SimHash over whitespace tokens (Arrow-batched numpy;
-    64 per-bit accumulators per doc is branch-heavy for SQL exprs, so
-    this is a designated pandas-UDF island)."""
+SIMHASH_BITS = 64
 
-    @F.pandas_udf("long")
-    def simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = (t or "").lower().split()
-            if not toks:
-                continue
-            acc = np.zeros(num_bits, dtype=np.int64)
-            for tok in toks:
-                h = np.int64(np.uint64(int.from_bytes(
-                    __import__("hashlib").blake2b(tok.encode(), digest_size=8).digest(), "big")))
-                bits = (np.uint64(h) >> np.arange(num_bits, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            sign_bits = (acc > 0).astype(np.uint64)
-            val = np.uint64(0)
-            for b in range(num_bits):
-                val |= sign_bits[b] << np.uint64(b)
-            out[i] = np.int64(val)
-        return pd.Series(out)
 
-    return simhash
+def simhash_band_values(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        band_bits: int = 16) -> DataFrame:
+    """(id, band_id, band_val) — the banded 64-bit SimHash, entirely
+    native (zero Python on the data plane).
+
+    Classic SimHash: each token votes ±1 on every bit of its 64-bit
+    hash; the document's bit b is 1 iff the vote sum is positive. Here
+    the token hash is two 32-bit halves of sha256 (replayable by any
+    engine — the DuckDB oracle included), the vote is a 64-column
+    map-side-partial SUM aggregation (one shuffle of 64 longs per doc,
+    independent of document length), and the band values are built
+    directly from the votes — the packed 64-bit word never exists, so
+    no unsigned-shift semantics can diverge between engines.
+
+    Replaces a per-token Python loop (blake2b per token inside a
+    pandas_udf) that dominated at corpus scale.
+    """
+    n_bands = SIMHASH_BITS // band_bits
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    digest = F.sha2(F.col("_tok"), 256)
+    hashed = tok.select(
+        F.col(id_col),
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("_hl"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("_hh"),
+    )
+    votes = hashed.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_hl" if b < 32 else "_hh"), b % 32)
+                .bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(SIMHASH_BITS)
+    ])
+
+    def band_val(k: int) -> F.Column:
+        out = F.lit(0)
+        for j in range(band_bits):
+            out = out + F.when(F.col(f"_v{k * band_bits + j}") > 0,
+                               F.lit(1 << j)).otherwise(0)
+        return out
+
+    return votes.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[band_val(k) for k in range(n_bands)]))
+        .alias("band_id", "band_val"),
+    )
 
 
 def simhash_buckets(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", band_bits: int = 16) -> DataFrame:
     """SimHash near-dup candidates: docs sharing any 16-bit band of
     their 64-bit simhash (Hamming-distance blocking)."""
-    # persist: the pandas-UDF hash must not run once per join side
-    sh = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash")).persist()
-    n_bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
-    banded = sh.select(
-        id_col, "simhash",
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
-                for b in range(n_bands)
-            ])
-        ).alias("band_id", "band_val"),
-    )
+    # persist: the banded signature must not recompute per join side
+    banded = simhash_band_values(df, text_col, id_col, band_bits).persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
     return (

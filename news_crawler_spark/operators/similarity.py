@@ -110,17 +110,64 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     )
 
 
+def rademacher_signs(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """±1 sign-projection planes derived from sha256(seed|plane|dim) —
+    Rademacher random projections are a valid sign-LSH family
+    (Achlioptas 2001), and unlike seeded-Gaussian numpy planes any
+    engine can re-derive them, so the bucketing itself is
+    oracle-checkable."""
+    import hashlib
+
+    return [
+        [1.0 if hashlib.sha256(f"{seed}|plane{p}|{d}".encode()).digest()[0] & 1
+         else -1.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def rademacher_bucket_col(vec_col: str | F.Column, dim: int, n_planes: int,
+                          seed: int = 42) -> F.Column:
+    """Native sign-LSH bucket id: bit p = (vec · signs_p > 0). The dot
+    product is a zip_with/aggregate left fold in codegen — bit-exact
+    reproducible by any engine folding left in the same order."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = rademacher_signs(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for p, signs in enumerate(planes):
+        sarr = F.array(*[F.lit(s) for s in signs])
+        dotp = F.aggregate(
+            F.zip_with(vec, sarr, lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dotp > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
-                             dim: int = 64, n_planes: int = 10,
-                             n_tables: int = 4) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH blocking."""
-    pairs = lsh_ann_topk(df, df, k=20, dim=dim, id_col=id_col, vec_col=vec_col,
-                         n_planes=n_planes, n_tables=n_tables)
+                             dim: int = 64, n_planes: int = 6,
+                             seed: int = 42, round_to: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking:
+    bucket equi-join (never all-pairs) → exact cosine within buckets →
+    threshold on the ROUNDED similarity (both engine and oracle round
+    before comparing, so a borderline pair can't flake the gate).
+
+    n_planes trades recall for bucket size: 2^n buckets, a near-dup
+    pair collides with prob (1 - θ/π)^n. For guaranteed-recall sweeps
+    run multiple seeds and union (multi-table LSH, see lsh_ann_topk).
+    """
+    keyed = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        rademacher_bucket_col(vec_col, dim, n_planes, seed).alias("bucket"),
+    )
+    a = keyed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
+    b = keyed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
+    sim = F.round(cosine_col("va", "vb"), round_to)
+    # single-table: every id lives in exactly one bucket, so each pair
+    # is produced at most once — no dedup exchange needed
     return (
-        pairs.filter((F.col("sim") >= threshold)
-                     & (F.col("query_id") < F.col("neighbor_id")))
-        .select(F.col("query_id").alias("id_a"),
-                F.col("neighbor_id").alias("id_b"), "sim")
-        .dropDuplicates(["id_a", "id_b"])
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )

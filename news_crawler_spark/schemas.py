@@ -96,6 +96,18 @@ FETCHED = T.StructType(
     ]
 )
 
+# the round's staging layout: FETCHED plus the derived doc_id and the
+# disposition partition column. Declared explicitly so the staging
+# read never schema-infers — a zero-row round leaves only _SUCCESS and
+# inference would throw UNABLE_TO_INFER_SCHEMA.
+STAGED = T.StructType(
+    [
+        *FETCHED.fields,
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("disposition", T.StringType(), False),
+    ]
+)
+
 LINEAGE = T.StructType(
     [
         T.StructField("round", T.IntegerType(), False),

@@ -86,6 +86,69 @@ def test_retries_happen(crawl):
     assert eng_counts == counts
 
 
+def test_retry_gaps_are_exponential(spark, tmp_path):
+    """T4 parity (reference utils/retry.py:29-36): a persistently
+    failing URL is re-attempted at exponential round gaps — rounds
+    r, r+1, r+3 (gaps 2**0, 2**1) before exhausting at max_attempts=3.
+    Uncontended budget so selection happens exactly at eligibility."""
+
+    class AlwaysBusyFetcher:
+        def fetch(self, url):
+            return {"status": 503, "fetch_ms": 1, "title": "",
+                    "published": None, "spans": []}
+
+    cfg = SiteConfig(seed=13, n_hosts=1, base_pages=4, hot_factor=1, n_seeds=1)
+    hosts = spark.createDataFrame(host_rows(cfg), HOSTS)
+    eng = CrawlEngine(spark, str(tmp_path), hosts, AlwaysBusyFetcher(),
+                      seed=cfg.seed, max_attempts=3)
+    eng.init(spark.createDataFrame(seed_rows(cfg), "url string, priority double"))
+    eng.run(5)
+    rounds = sorted(r["round"] for r in eng.crawl_log_df().collect())
+    assert rounds == [0, 1, 3]  # gaps 1, 2
+    assert eng.dead_df().count() == 1  # exhausted after attempt 3
+
+
+def test_zero_work_round_is_legal(spark, tmp_path):
+    """A round that schedules nothing (exhausted frontier / dead seeds)
+    must complete and advance — not crash on schema inference over an
+    empty staging dir (regression: ADVICE r01 high)."""
+    cfg = SiteConfig(seed=7, n_hosts=2, base_pages=4, hot_factor=1, n_seeds=2)
+    hosts = spark.createDataFrame(host_rows(cfg), HOSTS)
+    eng = CrawlEngine(spark, str(tmp_path), hosts,
+                      SyntheticFetcher(cfg), seed=cfg.seed)
+    # seeds that 404 immediately (outside the page universe)
+    eng.init(spark.createDataFrame(
+        [{"url": cfg.page_url(0, 999), "priority": 1.0}],
+        "url string, priority double"))
+    s0 = eng.run_round()
+    assert s0["scheduled"] == 1 and s0["ok"] == 0
+    s1 = eng.run_round()  # frontier now empty — must not raise
+    assert s1 == {"round": 1, "scheduled": 0, "ok": 0, "errors": 0,
+                  "new_urls": 0}
+    assert eng.run_round()["scheduled"] == 0  # and stays legal
+    assert eng.resume() == 3  # zero rounds commit lineage too
+
+
+def test_unknown_status_exhausts(spark, tmp_path):
+    """ADVICE r01 medium: a status outside {200,404,503,-1} must hit
+    the attempt cap like any retry, never loop forever."""
+
+    class WeirdFetcher:
+        def fetch(self, url):
+            return {"status": 204, "fetch_ms": 1, "title": "",
+                    "published": None, "spans": []}
+
+    cfg = SiteConfig(seed=11, n_hosts=1, base_pages=4, hot_factor=1, n_seeds=1)
+    hosts = spark.createDataFrame(host_rows(cfg), HOSTS)
+    eng = CrawlEngine(spark, str(tmp_path), hosts, WeirdFetcher(),
+                      seed=cfg.seed, max_attempts=2)
+    eng.init(spark.createDataFrame(seed_rows(cfg), "url string, priority double"))
+    scheduled = [eng.run_round()["scheduled"] for _ in range(5)]
+    # attempt 0 in round 0, retry (gap 1) in round 1, then exhausted->dead
+    assert scheduled == [1, 1, 0, 0, 0]
+    assert eng.dead_df().count() == 1
+
+
 def test_priority_expression_matches_python(spark):
     """Native sha2/conv priority == the oracle's hashlib computation."""
     from news_crawler_spark.crawl.engine import url_priority_col

@@ -50,6 +50,15 @@ SQL_CHECKED = sorted(entry_mod.oracle_sql().keys())
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(SQL_CHECKED))
 
 
+def _dtype_kind(dt) -> str:
+    """Coarse dtype family, the tripwire for oracle type artifacts the
+    driver's typed value-hash catches (e.g. DuckDB HUGEINT sums land as
+    float64/object in pandas while Spark emits int64): ints 'i',
+    floats 'f', bools 'b', datetimes 'M', everything else 'O'."""
+    k = getattr(dt, "kind", "O")
+    return k if k in ("i", "u", "f", "b", "M") else "O"
+
+
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_duckdb_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
@@ -62,6 +71,24 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
     d_rows = _rows(d_cols, res.fetchall())
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+
+    # dtype parity (the driver hashes TYPED values: a value-identical
+    # result with a different numeric family — DuckDB HUGEINT vs Spark
+    # BIGINT — still fails its gate, so catch that class here)
+    # full toPandas (not limit(0)): null-bearing int columns coerce to
+    # float64 under the same pandas convention on both sides
+    s_kinds = {c: _dtype_kind(dt) for c, dt in sdf.toPandas().dtypes.items()}
+    d_pdf = duck.execute(entry_mod.oracle_sql()[name]).df()
+    d_kinds = {c: _dtype_kind(dt) for c, dt in d_pdf.dtypes.items()}
+    # empty Spark toPandas leaves object columns for dates/strings; only
+    # compare the unambiguous numeric/bool families
+    mismatches = {
+        c: (s_kinds[c], d_kinds[c]) for c in s_kinds
+        if c in d_kinds
+        and {s_kinds[c], d_kinds[c]} <= {"i", "u", "f", "b"}
+        and {s_kinds[c], d_kinds[c]} not in ({"i"}, {"u"}, {"f"}, {"b"}, {"i", "u"})
+    }
+    assert not mismatches, f"{name}: dtype family mismatch {mismatches}"
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} vs oracle {len(d_rows)}")
     if s_rows != d_rows:

@@ -106,8 +106,13 @@ def test_exact_dedup(spark):
     assert got == {1: 2, 3: 1}  # whitespace/case-normalized group
 
 
-NEAR_A = "the quick brown fox jumps over the lazy dog near the river bank today"
-NEAR_B = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+# near-dup pair: long shared body, one differing final token — Jaccard
+# ~0.95, so ANY correct banding scheme must pair them (a short text at
+# J~0.6 would make the test a coin-flip on the hash family instead)
+_BASE = ("the quick brown fox jumps over the lazy dog near the river bank "
+         "while herons wade through reeds and swallows skim the water ") * 2
+NEAR_A = _BASE + "today"
+NEAR_B = _BASE + "tonight"
 FAR = "completely unrelated text about database systems and query optimizers"
 
 
