@@ -194,6 +194,36 @@ def q_x1_ioc_extract_defanged(spark, sf_dir):
     return extract_iocs_long(docs).select("doc_id", "kind", "value")
 
 
+def q_x1b_ioc_canonical(spark, sf_dir):
+    """X1 canonical set (reference parsers/ioc.py:34-53): strict IPv4
+    octets, port-aware case-insensitive URLs, NO defanging. The text
+    plants the cases where the two pattern sets diverge: ip:port
+    (ip extracted, port dropped), 999.x octets (rejected here, caught
+    by the loose asec set), defanged forms (ignored here), a URL with
+    an explicit port, and 64/32-hex hashes."""
+    from news_crawler_spark.functions import extract_iocs_canonical_long
+
+    ev = _t(spark, sf_dir, "events")
+    text = F.concat(
+        F.lit("conn from 10.0."),
+        F.pmod(F.col("event_id"), F.lit(256)).cast("string"),
+        F.lit("."),
+        F.pmod(F.col("user_id"), F.lit(256)).cast("string"),
+        F.lit(":"),
+        (F.lit(1024) + F.pmod(F.col("event_id"), F.lit(40000))).cast("string"),
+        F.lit(" bad 999.1.2.3 defanged 1[.]2[.]3[.]4 via HTTP://C2-"),
+        F.col("event_type"),
+        F.lit(".example:8443/p?x=1 drop "),
+        F.sha2(F.col("event_type"), 256),
+        F.lit(" md5 "),
+        F.substring(F.sha2(F.concat(F.lit("m"), F.col("event_type")), 256), 1, 32),
+        F.lit(" end"),
+    )
+    docs = ev.select(F.col("event_id").cast("string").alias("doc_id"),
+                     text.alias("text"))
+    return extract_iocs_canonical_long(docs).select("doc_id", "kind", "value")
+
+
 def q_x2_word_extract_explode(spark, sf_dir):
     """X2: findall + explode + distinct over real text."""
     return (
@@ -410,6 +440,55 @@ def q_p2_advisory_parse(spark, sf_dir):
     )
 
 
+def q_s2_rss_parse(spark, sf_dir):
+    """S2 real-XML path (reference advisory.py:61-109): RSS 2.0
+    documents are SYNTHESIZED from the events table (one multi-item
+    feed per user, RFC-822 pubDates, whitespace-padded titles), parsed
+    back through the native from_xml pipeline (sources/rss.py), and
+    normalized. The oracle recomputes the expected rows from events
+    directly — a full XML render→parse round-trip check."""
+    from news_crawler_spark.sources.rss import parse_rss
+
+    ev = _t(spark, sf_dir, "events")
+    item_xml = F.concat(
+        F.lit("<item><title> "), F.col("event_type"), F.lit(" #"),
+        F.col("event_id").cast("string"),
+        F.lit(" </title><link>http://feed.test/"),
+        F.col("event_id").cast("string"),
+        F.lit("</link><pubDate>"),
+        F.date_format("ts", "EEE, dd MMM yyyy HH:mm:ss 'GMT'"),
+        F.lit("</pubDate><description>note "), F.col("event_type"),
+        F.lit(" 2025-03-0"),
+        (F.pmod(F.col("event_id"), F.lit(9)) + 1).cast("string"),
+        F.lit("</description></item>"),
+    )
+    feeds = ev.groupBy("user_id").agg(
+        F.concat(
+            F.lit('<rss version="2.0"><channel><title>feed</title>'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("event_id"), item_xml.alias("x")))),
+                    lambda s: s.getField("x")),
+                ""),
+            F.lit("</channel></rss>"),
+        ).alias("xml")
+    )
+    items = parse_rss(feeds, "xml")
+    return items.select(
+        F.regexp_extract("link", r"feed\.test/(\d+)", 1).cast("long")
+        .alias("event_id"),
+        F.trim("title").alias("summary"),
+        "pub_ts",
+        F.to_date(F.from_utc_timestamp("pub_ts", "Asia/Seoul")).alias("seoul_date"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("description", r"(\d{4}-\d{2}-\d{2})", 1),
+                     F.lit("")),
+            F.lit("1970-01-01"),
+        ).cast("date").alias("fallback_date"),
+    )
+
+
 def q_join3_revenue(spark, sf_dir):
     """Multiway equi-join + agg (the join family SURVEY §2.9 notes the
     reference lacks): revenue per nation."""
@@ -494,7 +573,11 @@ def q_korean_date_parse(spark, sf_dir):
 
 def q_sid_assignment(spark, sf_dir):
     """K3: deterministic SID numbering for novel rule keys
-    (BASE_SID + row_number in key order, suricata.py:184-186)."""
+    (BASE_SID + rank in key order, suricata.py:184-186) — two-phase
+    global_row_number, so no single-partition window even when the
+    rules batch is huge."""
+    from news_crawler_spark.operators.topk import global_row_number
+
     ev = _t(spark, sf_dir, "events")
     ip = F.concat_ws(
         ".",
@@ -503,8 +586,8 @@ def q_sid_assignment(spark, sf_dir):
         F.lit("0"), F.lit("1"),
     )
     keys = ev.select(ip.alias("key")).dropDuplicates(["key"])
-    w = Window.orderBy(F.col("key").asc())
-    return keys.withColumn("sid", F.lit(7000000) + F.row_number().over(w))
+    return (global_row_number(keys, "key", out_col="_rn")
+            .select("key", (F.lit(7000000) + F.col("_rn")).alias("sid")))
 
 
 def q_digest_plan(spark, sf_dir):
@@ -750,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_url_split": q_p7_url_split,
         "p9_sha2_key": q_p9_sha2_key,
         "x1_ioc_extract_defanged": q_x1_ioc_extract_defanged,
+        "x1b_ioc_canonical": q_x1b_ioc_canonical,
         "x2_word_extract_explode": q_x2_word_extract_explode,
         "d1_first_wins_dedup": q_d1_first_wins_dedup,
         "l4_topk_per_group": q_l4_topk_per_group,
@@ -773,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_token_pairs": q_jaccard_token_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
         "p2_advisory_parse": q_p2_advisory_parse,
+        "s2_rss_parse": q_s2_rss_parse,
         "join3_revenue": q_join3_revenue,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -873,6 +958,33 @@ def oracle_sql() -> dict[str, str]:
                        '\\[\\.\\]', '.', 'g'), '\\[:\\]', ':', 'g'),
                        '\\bhxxp', 'http', 'g') AS value
             FROM extracted
+        """,
+        "x1b_ioc_canonical": """
+            WITH t AS (
+              SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                     'conn from 10.0.' || (event_id % 256) || '.' ||
+                     (user_id % 256) || ':' || (1024 + event_id % 40000) ||
+                     ' bad 999.1.2.3 defanged 1[.]2[.]3[.]4 via HTTP://C2-' ||
+                     event_type || '.example:8443/p?x=1 drop ' ||
+                     sha256(event_type) || ' md5 ' ||
+                     substr(sha256('m' || event_type), 1, 32) || ' end' AS text
+              FROM events),
+            extracted AS (
+              SELECT doc_id, 'ip' AS kind,
+                     unnest(regexp_extract_all(text,
+                       '\\b(?:(?:25[0-5]|2[0-4]\\d|1?\\d{1,2})\\.){3}(?:25[0-5]|2[0-4]\\d|1?\\d{1,2})\\b')) AS value
+              FROM t
+              UNION ALL
+              SELECT doc_id, 'url' AS kind,
+                     unnest(regexp_extract_all(text,
+                       '(?i)https?://[A-Za-z0-9\\-_\\.]+(?::[0-9]{1,5})?(?:/[^\\s''"<>]*)?')) AS value
+              FROM t
+              UNION ALL
+              SELECT doc_id, 'hash' AS kind,
+                     unnest(regexp_extract_all(text,
+                       '\\b[a-fA-F0-9]{64}\\b|\\b[a-fA-F0-9]{40}\\b|\\b[a-fA-F0-9]{32}\\b')) AS value
+              FROM t)
+            SELECT DISTINCT doc_id, kind, value FROM extracted
         """,
         "x2_word_extract_explode": """
             SELECT DISTINCT doc_id,
@@ -1049,6 +1161,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(nullif(regexp_extract(raw, '(\\d{4}-\\d{2}-\\d{2})', 1), ''),
                                  '1970-01-01') AS DATE) AS fallback_date
             FROM t
+        """,
+        "s2_rss_parse": """
+            SELECT event_id,
+                   event_type || ' #' || event_id AS summary,
+                   date_trunc('second', ts) AS pub_ts,
+                   CAST(date_trunc('second', ts) + INTERVAL 9 HOUR AS DATE)
+                     AS seoul_date,
+                   CAST('2025-03-0' || ((event_id % 9) + 1) AS DATE)
+                     AS fallback_date
+            FROM events
         """,
         "join3_revenue": """
             SELECT n_name, count(*) AS n_orders,

@@ -23,8 +23,13 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="news_crawler_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    from news_crawler_spark.config import Settings
+
+    settings = Settings.from_env()
+
     c = sub.add_parser("crawl", help="run crawl rounds against the synthetic web")
-    c.add_argument("--state-dir", required=True)
+    c.add_argument("--state-dir", default=settings.state_dir or None,
+                   help="checkpoint root (env: NCS_STATE_DIR)")
     c.add_argument("--rounds", type=int, default=3)
     c.add_argument("--n-hosts", type=int, default=8)
     c.add_argument("--pages-per-host", type=int, default=40)
@@ -32,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--seed", type=int, default=42)
     c.add_argument("--richness", type=int, default=1)
     c.add_argument("--cpus", type=int, default=None)
+    c.add_argument("--max-attempts", type=int, default=settings.max_attempts,
+                   help="retry cap (env: NCS_MAX_ATTEMPTS, bounds 1..10)")
+    c.add_argument("--retry-jitter", type=int,
+                   default=settings.retry_jitter_span,
+                   help="retry jitter span in rounds (env: NCS_RETRY_JITTER_SPAN)")
     c.add_argument("--resume", action="store_true",
                    help="continue from the last complete lineage row")
     c.add_argument("--http", action="store_true",
@@ -40,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("bench", help="alias for the repo-root bench harness")
 
     args = p.parse_args(argv)
+    if args.cmd == "crawl" and not args.state_dir:
+        p.error("--state-dir is required (or set NCS_STATE_DIR)")
     if args.cmd == "bench":
         import bench
 
@@ -59,7 +71,8 @@ def main(argv: list[str] | None = None) -> int:
     fetcher = HttpFetcher() if args.http else SyntheticFetcher(cfg, parse_html=True)
     hosts = spark.createDataFrame(host_rows(cfg), HOSTS)
     eng = CrawlEngine(spark, args.state_dir, hosts, fetcher, seed=cfg.seed,
-                      max_attempts=cfg.max_attempts)
+                      max_attempts=args.max_attempts,
+                      retry_jitter_span=args.retry_jitter)
     if args.resume:
         nxt = eng.resume()
         print(json.dumps({"resumed_at_round": nxt}))

@@ -3,7 +3,9 @@
 
 from news_crawler_spark.functions.ioc import (
     IOC_PATTERNS,
+    IOC_PATTERNS_CANONICAL,
     defang_reverse,
+    extract_iocs_canonical_long,
     extract_iocs_long,
     valid_ipv4,
 )
@@ -17,7 +19,9 @@ from news_crawler_spark.functions.textstats import (
 
 __all__ = [
     "IOC_PATTERNS",
+    "IOC_PATTERNS_CANONICAL",
     "defang_reverse",
+    "extract_iocs_canonical_long",
     "extract_iocs_long",
     "valid_ipv4",
     "url_host",

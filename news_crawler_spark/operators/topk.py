@@ -27,3 +27,50 @@ def top_k_per_group(df: DataFrame, group_cols: list[str], order_cols: list,
 
 def top_k_global(df: DataFrame, order_cols: list, k: int) -> DataFrame:
     return df.orderBy(*order_cols).limit(k)
+
+
+def global_row_number(df: DataFrame, key_col: str, out_col: str = "rn",
+                      n_parts: int = 16) -> DataFrame:
+    """Global 1-based row_number ordered by ``key_col`` WITHOUT any
+    single-partition stage (the zipWithIndex algorithm, DataFrame-side).
+
+    ``Window.orderBy(key)`` with no partitionBy funnels every row
+    through one task — fine for per-round IOC batches, a scale-killer
+    on big inputs. Two-phase instead: range-repartition on the key
+    (partition i holds a contiguous key range, ranges ascend with
+    partition id), row_number within each partition, then add
+    per-partition cumulative offsets — the counts are one tiny
+    driver-side collect (≤ n_parts rows, bounded by partition count,
+    not data) folded into a literal map. The persist pins the sampled
+    range partitioning so the counts pass and the final pass see the
+    same partition ids.
+
+    Keys must be unique (caller dedups); result is the exact global
+    rank in key order.
+    """
+    staged = (
+        df.repartitionByRange(n_parts, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"]) for r in
+        staged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    w_local = Window.partitionBy("_pid").orderBy(F.col(key_col).asc())
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off])
+        off = off_map[F.col("_pid")].cast("long")
+    else:
+        off = F.lit(0).cast("long")
+    return (
+        staged.withColumn("_lrn", F.row_number().over(w_local))
+        .withColumn(out_col, off + F.col("_lrn"))
+        .drop("_pid", "_lrn")
+    )

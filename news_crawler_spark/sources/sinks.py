@@ -61,7 +61,17 @@ class RulesSink:
 
         ``batch`` needs a ``key`` column (already normalized) plus any
         columns the template references via ``{col}``.
+
+        SID numbering uses the two-phase global_row_number (range
+        partitions + cumulative offsets), never a partitionBy-less
+        window — a large novel batch would otherwise funnel through a
+        single task. The added-row count rides the append write as an
+        Observation instead of two extra table counts.
         """
+        from pyspark.sql import Observation
+
+        from news_crawler_spark.operators.topk import global_row_number
+
         existing = self.table.read()
         max_sid = existing.agg(F.coalesce(F.max("sid"), F.lit(self.base_sid))
                                .alias("m")).collect()[0]["m"]
@@ -69,18 +79,16 @@ class RulesSink:
             batch.dropDuplicates(["key"])
             .join(existing.select("key"), "key", "left_anti")
         )
-        from pyspark.sql import Window
-
-        w = Window.orderBy(F.col("key").asc())
-        rules = novel.withColumn("sid", F.lit(max_sid) + F.row_number().over(w))
+        rules = (global_row_number(novel, "key", out_col="_rn")
+                 .withColumn("sid", F.lit(max_sid) + F.col("_rn")))
         rule_col = F.format_string(
             rule_template.replace("{key}", "%s").replace("{sid}", "%d"),
             F.col("key"), F.col("sid"),
         )
         out = rules.select("key", "sid", rule_col.alias("rule"))
-        before = existing.count()
-        self.table.append(out)
-        return self.table.read().count() - before
+        obs = Observation()
+        self.table.append(out.observe(obs, F.count(F.lit(1)).alias("n")))
+        return int(obs.get["n"])
 
 
 def block_ips(sink: RulesSink, values: DataFrame, col: str = "value") -> int:

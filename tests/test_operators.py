@@ -143,6 +143,37 @@ def test_simhash_buckets_planted_pair(spark):
     assert (1, 3) not in pairs
 
 
+# ------------------------------------------------------------------ ioc sets
+def test_canonical_vs_asec_ioc_sets(spark):
+    """The reference keeps TWO pattern sets that deliberately differ
+    (parsers/ioc.py strict+ports vs asec.py loose+defanged); both must
+    behave on the divergent inputs."""
+    from news_crawler_spark.functions import (
+        extract_iocs_canonical_long,
+        extract_iocs_long,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "ip 1.2.3.4:8080 bad 999.1.2.3 defanged 5[.]6[.]7[.]8 "
+               "url hxxps[:]//evil.test/x real HTTP://Host.example:8443/p")],
+        "doc_id string, text string",
+    )
+    canon = {(r.kind, r.value) for r in extract_iocs_canonical_long(df).collect()}
+    asec = {(r.kind, r.value) for r in extract_iocs_long(df).collect()}
+    # ip:port — both extract the bare ip (port dropped by \b)
+    assert ("ip", "1.2.3.4") in canon and ("ip", "1.2.3.4") in asec
+    # strict octets reject 999.*; the loose set keeps it
+    assert ("ip", "999.1.2.3") not in canon
+    assert ("ip", "999.1.2.3") in asec
+    # defanged ip: normalized by asec, invisible to canonical
+    assert ("ip", "5.6.7.8") in asec
+    assert not any(k == "ip" and "5" in v.split(".")[0] for k, v in canon)
+    # canonical: case-insensitive scheme + explicit port, verbatim value
+    assert ("url", "HTTP://Host.example:8443/p") in canon
+    # asec: defanged url normalized
+    assert ("url", "https://evil.test/x") in asec
+
+
 # ---------------------------------------------------------------- similarity
 def test_cosine_topk_and_lsh_recall(spark):
     import numpy as np

@@ -85,6 +85,30 @@ def test_fetch_stage_keeps_explicit_partitioning(spark):
     assert fetched.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
 
 
+def test_sid_assignment_has_no_single_partition_exchange(spark):
+    """Global SID numbering must be the two-phase form: range
+    repartition + partition-local rank + offset map — never an
+    Exchange SinglePartition (the partitionBy-less window funnel)."""
+    df = entry_mod.q_sid_assignment(spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_global_row_number_matches_window_rank(spark):
+    """Value check: two-phase rank == the naive global window rank."""
+    from pyspark.sql import Window
+
+    from news_crawler_spark.operators.topk import global_row_number
+
+    df = spark.range(3000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("key"))
+    got = {r.key: r.rn for r in global_row_number(df, "key").collect()}
+    want = {r.key: r.rn for r in df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("key"))).collect()}
+    assert got == want
+
+
 def test_minhash_plan_is_partial_aggregated(spark):
     """MinHash signatures must show map-side partial aggregation
     (HashAggregate before and after the exchange)."""

@@ -1,0 +1,76 @@
+"""S2/P2: RSS XML → advisory rows, reference-style canned payloads
+(model: reference src/tests/test_fetchers.py:22-49 — feed a known
+feed, assert exact parsed titles/links/dates)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from news_crawler_spark.sources.rss import (
+    latest_per_feed,
+    normalize_advisories,
+    parse_rss,
+)
+
+FEED = """<rss version="2.0"><channel><title>KISA 보안공지</title>
+<item><title>  취약점 주의보  </title><link> http://adv.test/1 </link>
+<pubDate>Wed, 02 Oct 2002 13:00:05 GMT</pubDate>
+<description> patch now 2002-10-01 </description></item>
+<item><title>no date item</title><link>http://adv.test/2</link>
+<description>fallback 2024-12-31 here</description></item>
+<item><title>no date no fallback</title><link>http://adv.test/3</link>
+<description>nothing to see</description></item>
+</channel></rss>"""
+
+
+def _parsed(spark):
+    df = spark.createDataFrame([("f1", FEED)], "feed string, xml string")
+    return parse_rss(df, "xml", keep_cols=["feed"])
+
+
+def test_rss_items_explode_with_fields(spark):
+    rows = {r.link.strip(): r for r in _parsed(spark).collect()}
+    assert set(rows) == {"http://adv.test/1", "http://adv.test/2",
+                         "http://adv.test/3"}
+    first = rows["http://adv.test/1"]
+    assert first.title.strip() == "취약점 주의보"
+    assert first.pub_ts == dt.datetime(2002, 10, 2, 13, 0, 5)
+    assert rows["http://adv.test/2"].pub_ts is None
+
+
+def test_rss_normalization_seoul_and_fallback(spark):
+    adv = {r.link: r for r in normalize_advisories(_parsed(spark)).collect()}
+    # 13:00 UTC + 9h = 22:00 Seoul, same date
+    assert adv["http://adv.test/1"].published == dt.date(2002, 10, 2)
+    assert adv["http://adv.test/1"].title == "취약점 주의보"  # trimmed
+    # no pubDate → regex fallback from description
+    assert adv["http://adv.test/2"].published == dt.date(2024, 12, 31)
+    # neither → default epoch date
+    assert adv["http://adv.test/3"].published == dt.date(1970, 1, 1)
+
+
+def test_rss_seoul_date_rolls_over_midnight(spark):
+    xml = ('<rss><channel><item><title>t</title><link>l</link>'
+           '<pubDate>Tue, 01 Oct 2002 16:30:00 GMT</pubDate>'
+           '<description>d</description></item></channel></rss>')
+    df = spark.createDataFrame([(xml,)], "xml string")
+    row = normalize_advisories(parse_rss(df)).collect()[0]
+    # 16:30 UTC + 9h = 01:30 NEXT day in Seoul
+    assert row.published == dt.date(2002, 10, 2)
+
+
+def test_per_feed_limit_newest_first(spark):
+    items = "".join(
+        f"<item><title>t{i}</title><link>http://x/{i}</link>"
+        f"<pubDate>Wed, {i:02d} Oct 2002 10:00:00 GMT</pubDate>"
+        f"<description>d</description></item>"
+        for i in range(1, 8))
+    xml = f"<rss><channel>{items}</channel></rss>"
+    df = spark.createDataFrame([("feedA", xml)], "feed string, xml string")
+    adv = normalize_advisories(parse_rss(df, "xml", keep_cols=["feed"]),
+                               keep_cols=["feed"])
+    top = latest_per_feed(adv, "feed", limit=3).collect()
+    assert [r.link for r in sorted(top, key=lambda r: r.feed_rank)] == [
+        "http://x/7", "http://x/6", "http://x/5"]
