@@ -402,6 +402,68 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (script detection + EN-stopword density)
+    bucketed against the table's labeled lang column."""
+    from news_crawler_spark.functions import lang_guess
+
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("lang", lang_guess("text").alias("lang_guess"))
+            .groupBy("lang", "lang_guess").agg(F.count("*").alias("n")))
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: an opaque binary payload column
+    (synthesized deterministically from text, standing in for
+    image/audio bytes) with typed-metadata extraction — byte length,
+    magic-bytes hex, kind bucketing — all native binary expressions
+    (operators/multimodal.py holds the decode UDF surface)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.unhex(F.expr("substring(sha2(text, 256), 1, (doc_id % 29 + 4) * 2)"))
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"))
+    return docs.select(
+        "doc_id",
+        kind.alias("kind"),
+        F.length(payload).alias("n_bytes"),
+        F.lower(F.hex(F.substring(payload, 1, 4))).alias("magic"),
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-stratified sampling (training-data op):
+    per-language rates via a sha256-derived uniform bucket — no RNG
+    state, no shuffle, and the SAME sample on any engine or cluster
+    size (the property that matters when a 100 TB job re-runs; Spark's
+    rand()-based sample() is partition-layout-dependent)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(
+            F.sha2(F.concat(F.lit("smp|"), F.col("doc_id").cast("string")), 256),
+            1, 8), 16, 10).cast("long") % 1000)
+    rate = (F.when(F.col("lang") == "en", F.lit(300))
+            .when(F.col("lang") == "ko", F.lit(700))
+            .otherwise(F.lit(1000)))
+    return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary building: token frequencies per language, top-20 —
+    the tokenizer-prep pass of a training pipeline. Shuffle is one
+    groupBy on (lang, token) with map-side partial counts; the rank
+    window runs over the already-aggregated vocab table."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"))
+    counts = (tok.filter(F.length("token") >= 2)
+              .groupBy("lang", "token").agg(F.count("*").alias("n")))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 20))
+
+
 def q_fingerprint(spark, sf_dir):
     """Document fingerprint (rolling-hash analog, exact-dedup key)."""
     return _t(spark, sf_dir, "documents").select(
@@ -420,6 +482,19 @@ def q_sim_cosine_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_bruteforce(queries, emb, k=5).select(
         "query_id", "neighbor_id", "sim", "rnk")
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF (inverted-file) ANN top-k: corpus partitioned into centroid
+    cells (deterministic seed centroids = first 16 vectors, so the
+    oracle replays the exact cells), queries probe their 2 nearest
+    cells — the k-means-flavored counterpart to sign-LSH with the same
+    bucket-equi-join scale shape (operators/similarity.py ivf_topk)."""
+    from news_crawler_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(queries, emb, k=5, n_centroids=16, nprobe=2)
 
 
 def q_p2_advisory_parse(spark, sf_dir):
@@ -690,6 +765,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: MinHash-LSH pairs closed under transitivity
+    (alternating large-star/small-star connected components,
+    operators/components.py) → per-doc keep/drop verdict. The oracle
+    replays the closure with a recursive CTE over the same pair SQL."""
+    from news_crawler_spark.operators.components import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(docs, minhash_lsh_candidates(docs))
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash banding candidates — fully native (sha2 token hashes,
     SUM bit-votes, band self-join), oracle-replayable."""
@@ -854,8 +940,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
+        "sample_stratified": q_sample_stratified,
+        "vocab_topk": q_vocab_topk,
+        "lang_id": q_lang_id,
+        "binary_meta": q_binary_meta,
         "jaccard_token_pairs": q_jaccard_token_pairs,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "ivf_ann": q_ivf_ann,
         "p2_advisory_parse": q_p2_advisory_parse,
         "s2_rss_parse": q_s2_rss_parse,
         "join3_revenue": q_join3_revenue,
@@ -873,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "doc_pipeline": q_doc_pipeline,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dup_clusters": q_dup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
     }
@@ -1117,6 +1209,48 @@ def oracle_sql() -> dict[str, str]:
                    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
         """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(sha256('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000
+                  < CASE WHEN lang = 'en' THEN 300
+                         WHEN lang = 'ko' THEN 700 ELSE 1000 END
+        """,
+        "vocab_topk": """
+            WITH tok AS (
+              SELECT lang,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+              FROM documents),
+            c AS (SELECT lang, token, count(*) AS n FROM tok
+                  WHERE len(token) >= 2 GROUP BY 1, 2)
+            SELECT lang, token, n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, token) AS rnk
+            FROM c QUALIFY rnk <= 20
+        """,
+        "lang_id": """
+            WITH g AS (
+              SELECT lang,
+                     CASE WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
+                          WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                          WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                          WHEN len(list_filter(
+                                 string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x IN ('the','and','of','to','a','in','is','it','for','on')))
+                               / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE)
+                               > 0.05 THEN 'en'
+                          ELSE 'other' END AS lang_guess
+              FROM documents)
+            SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2
+        """,
+        "binary_meta": """
+            SELECT doc_id,
+                   ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                   octet_length(unhex(substr(sha256(text), 1,
+                       ((doc_id % 29) + 4) * 2))) AS n_bytes,
+                   substr(sha256(text), 1, 8) AS magic
+            FROM documents
+        """,
         "jaccard_token_pairs": """
             WITH tok AS (
               SELECT doc_id,
@@ -1144,6 +1278,43 @@ def oracle_sql() -> dict[str, str]:
                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
                            6) AS sim
               FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM scored QUALIFY rnk <= 5
+        """,
+        "ivf_ann": """
+            WITH cent AS (
+              SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id < 20),
+            cass AS (
+              SELECT id AS neighbor_id, v AS cv, cell FROM (
+                SELECT c.id, c.v, ct.cell,
+                       row_number() OVER (PARTITION BY c.id ORDER BY
+                         round(list_dot_product(c.v, ct.cvec)
+                               / (sqrt(list_dot_product(c.v, c.v))
+                                  * sqrt(list_dot_product(ct.cvec, ct.cvec))), 6) DESC,
+                         ct.cell) AS rn
+                FROM c CROSS JOIN cent ct) WHERE rn = 1),
+            qass AS (
+              SELECT id AS query_id, v AS qv, cell FROM (
+                SELECT q.id, q.v, ct.cell,
+                       row_number() OVER (PARTITION BY q.id ORDER BY
+                         round(list_dot_product(q.v, ct.cvec)
+                               / (sqrt(list_dot_product(q.v, q.v))
+                                  * sqrt(list_dot_product(ct.cvec, ct.cvec))), 6) DESC,
+                         ct.cell) AS rn
+                FROM q CROSS JOIN cent ct) WHERE rn <= 2),
+            scored AS (
+              SELECT DISTINCT qa.query_id, ca.neighbor_id,
+                     round(list_dot_product(qa.qv, ca.cv)
+                           / (sqrt(list_dot_product(qa.qv, qa.qv))
+                              * sqrt(list_dot_product(ca.cv, ca.cv))), 6) AS sim
+              FROM qass qa JOIN cass ca USING (cell)
+              WHERE qa.query_id <> ca.neighbor_id)
             SELECT query_id, neighbor_id, sim,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY sim DESC, neighbor_id) AS rnk
@@ -1307,6 +1478,30 @@ def oracle_sql() -> dict[str, str]:
         # near-dup family: hash derivations are sha256 substrings in
         # BOTH engines, so these replay the full pipelines value-exactly
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        # transitive closure of the minhash pair SQL via recursive CTE;
+        # component label = min doc_id, exactly the engine's convention
+        "dup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_minhash_lsh_oracle()})
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            comp AS (
+              SELECT a AS node, least(a, min(b)) AS comp
+              FROM reach GROUP BY a),
+            lab AS (
+              SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canon_id
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+            SELECT doc_id, canon_id,
+                   count(*) OVER (PARTITION BY canon_id) AS cluster_size,
+                   (doc_id = canon_id) AS is_canonical
+            FROM lab
+        """,
         "dedup_simhash": _simhash_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
     }

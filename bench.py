@@ -6,12 +6,15 @@ Two parts:
  1. headline analytic queries at $SPARK_GRAFT_SF_DIR (default sf0.1),
     forced end-to-end with the noop sink (no collect; nothing pruned),
  2. crawl-frontier throughput (URLs scheduled+fetched/sec) on the
-    synthetic site graph at two parallelism levels — local[N/4] vs
-    local[N] — standing in for N vs 4N executor clusters per
-    BASELINE.md; reports both plus scaling efficiency.
+    synthetic site graph at two parallelism levels — local[N] vs
+    local[4N], each PINNED to its own disjoint CPU set and run
+    round-interleaved in time — standing in for N vs 4N executor
+    clusters per BASELINE.md; reports both plus scaling efficiency
+    (see _interleaved_scaling for why interleaved + pinned).
 
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_SKIP_SCALING=1 to skip part 2 (fast iteration).
+     SPARK_GRAFT_BENCH_SKIP_SCALING=1 to skip part 2 (fast iteration),
+     SPARK_GRAFT_BENCH_LEVELS="2,8", SPARK_GRAFT_BENCH_SLICES=4.
 """
 
 from __future__ import annotations
@@ -47,6 +50,9 @@ BENCH_QUERIES = [
     "text_stats",
     "sim_cosine_topk",
     "dedup_minhash_lsh",
+    "dup_clusters",
+    "ivf_ann",
+    "vocab_topk",
 ]
 
 
@@ -79,76 +85,94 @@ def _parse_ref_work(args) -> int:
     return n
 
 
-def _parse_reference(procs: int, n_pages: int = 16000) -> float:
+def _parse_reference(procs: int, pages_per_proc: int = 8000,
+                     best_of: int = 2) -> float:
     """Pure-CPU fetch+parse throughput (pages/s) via raw
     multiprocessing — the hardware/regime reference the engine's
-    scaling is judged against (no Spark, no shuffles, no state)."""
+    scaling is judged against (no Spark, no shuffles, no state).
+
+    pages scale with procs so every level measures the same wall-time
+    window (a fixed page count gave the 8-proc level a ~2 s sample —
+    too short to read the host's regime; one noisy sample made the
+    normalization nonsensical, hw "efficiency" > 1). Best-of-N for the
+    same transient-steal reason the crawl levels use it."""
     import multiprocessing as mp
 
     from news_crawler_spark.fixtures.sitegen import SiteConfig
 
     cfg = SiteConfig(seed=42, n_hosts=200, base_pages=24000, hot_factor=4,
                      richness=2)
+    n_pages = pages_per_proc * procs
     chunk = n_pages // procs
-    t0 = time.perf_counter()
-    with mp.Pool(procs) as pool:
-        pool.map(_parse_ref_work, [(cfg, i * chunk, (i + 1) * chunk)
-                                   for i in range(procs)])
-    return round(n_pages / (time.perf_counter() - t0), 1)
+    best = 0.0
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as pool:
+            pool.map(_parse_ref_work, [(cfg, i * chunk, (i + 1) * chunk)
+                                       for i in range(procs)])
+        best = max(best, round(n_pages / (time.perf_counter() - t0), 1))
+    return best
 
 
-def crawl_throughput(cpus: int, n_rounds: int = 2, n_hosts: int = 200,
-                     seeds_per_host: int = 9000, richness: int = 2) -> dict:
-    """URLs scheduled+fetched/sec over a multi-round synthetic crawl.
-
-    The frontier is pre-populated with hash-generated URLs (one per
-    (host, page) pair) so every round runs at full politeness budget —
-    the saturated-steady-state regime that matters at 10^10 scale, not
-    the exponential warm-up from a handful of seeds. Pages render to
-    real HTML (richness=2 ≈ a few KB) and the fetch UDF runs the
-    production parser, so per-URL cost is honest CPU, not a spans
-    short-circuit. Rounds are ~0.7M URLs so the fixed per-round DAG
-    cost (~5-8 s) is amortized the way production-size rounds would.
-    """
+def _bench_engine(cpus: int, n_hosts: int = 200, pages_per_host: int = 18000,
+                  richness: int = 2):
+    """Build the bench crawl engine: frontier pre-populated with the
+    FULL page universe (one hash-generated URL per (host, page) pair)
+    so every round runs at full politeness budget AND rounds are
+    uniform — the mid-crawl steady state that matters at 10^10 scale,
+    where almost every extracted link is already discovered
+    (first-wins drops it) and the frontier doesn't balloon between
+    measured rounds. Pages render to real HTML (richness=2 ≈ a few KB)
+    and the fetch UDF runs the production parser, so per-URL cost is
+    honest CPU, not a spans short-circuit. Rounds are ~0.7M URLs so
+    the fixed per-round DAG cost (~2-5 s) is amortized the way
+    production-size rounds would. Runs the JIT/codegen/python-worker
+    warm-up before returning. Caller stops spark + removes state."""
     from news_crawler_spark.crawl import CrawlEngine, SyntheticFetcher
     from news_crawler_spark.fixtures import SiteConfig, host_rows
     from news_crawler_spark.schemas import HOSTS
 
     spark = get_spark(f"bench-crawl-{cpus}", cpus=cpus, shuffle_partitions=cpus)
-    cfg = SiteConfig(seed=42, n_hosts=n_hosts, base_pages=seeds_per_host * 2,
+    cfg = SiteConfig(seed=42, n_hosts=n_hosts, base_pages=pages_per_host,
                      hot_factor=4, budgets=(3200, 4160, 3520, 4480),
                      richness=richness)
     state_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     state = tempfile.mkdtemp(prefix=f"bench_crawl_{cpus}_", dir=state_root)
+    hosts = spark.createDataFrame(host_rows(cfg), HOSTS)
+    fetcher = SyntheticFetcher(cfg, parse_html=True)
+    eng = CrawlEngine(spark, state, hosts, fetcher, seed=cfg.seed)
+    seeds = spark.range(n_hosts * pages_per_host).select(
+        F.format_string(
+            "http://h%04d.test/p%d",
+            (F.col("id") % n_hosts).cast("int"),
+            (F.col("id") / n_hosts).cast("int"),
+        ).alias("url"),
+        (F.pmod(F.col("id") * F.lit(2654435761), F.lit(100000)).cast("double")
+         / F.lit(100000.0)).alias("priority"),
+    )
+    eng.init(seeds)
+
+    import pandas as pd
+
+    def warm(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"n": [len(fetcher.fetch(u)["spans"] or []) for u in pdf["u"]]})
+
+    (spark.range(2000)
+     .select(F.format_string("http://h0000.test/p%d", F.col("id")).alias("u"))
+     .repartition(cpus).mapInPandas(warm, "n int")
+     .write.format("noop").mode("overwrite").save())
+    return spark, eng, state
+
+
+def crawl_throughput(cpus: int, n_rounds: int | None = None) -> dict:
+    """URLs scheduled+fetched/sec over a multi-round synthetic crawl
+    at ONE parallelism level (see _bench_engine for the workload)."""
+    if n_rounds is None:
+        n_rounds = 3 if cpus <= 4 else 6
+    spark, eng, state = _bench_engine(cpus)
     try:
-        hosts = spark.createDataFrame(host_rows(cfg), HOSTS)
-        fetcher = SyntheticFetcher(cfg, parse_html=True)
-        eng = CrawlEngine(spark, state, hosts, fetcher, seed=cfg.seed)
-        seeds = spark.range(n_hosts * seeds_per_host).select(
-            F.format_string(
-                "http://h%04d.test/p%d",
-                (F.col("id") % n_hosts).cast("int"),
-                (F.col("id") / n_hosts).cast("int"),
-            ).alias("url"),
-            (F.pmod(F.col("id") * F.lit(2654435761), F.lit(100000)).cast("double")
-             / F.lit(100000.0)).alias("priority"),
-        )
-        eng.init(seeds)
-
-        # cheap warm-up: JIT/codegen/python workers, without consuming a
-        # full frontier round
-        import pandas as pd
-
-        def warm(batches):
-            for pdf in batches:
-                yield pd.DataFrame(
-                    {"n": [len(fetcher.fetch(u)["spans"] or []) for u in pdf["u"]]})
-
-        (spark.range(2000)
-         .select(F.format_string("http://h0000.test/p%d", F.col("id")).alias("u"))
-         .repartition(cpus).mapInPandas(warm, "n int")
-         .write.format("noop").mode("overwrite").save())
-
         walls, rounds = [], []
         t_all = time.perf_counter()
         for _ in range(n_rounds):
@@ -180,6 +204,36 @@ def crawl_throughput(cpus: int, n_rounds: int = 2, n_hosts: int = 200,
         spark.stop()
 
 
+def crawl_server(cpus: int) -> None:
+    """Stdin-driven one-level bench server for INTERLEAVED pairing.
+
+    Protocol (one JSON line out per command line in):
+      ROUND → run one crawl round, reply {"rate", "sec", "urls"}
+      REF   → raw multiprocess parse reference, reply {"ref"}
+      QUIT  → cleanup and exit
+    Spark logs go to stderr; stdout carries only protocol lines.
+    """
+    spark, eng, state = _bench_engine(cpus)
+    try:
+        print(json.dumps({"ready": True}), flush=True)
+        for line in sys.stdin:
+            cmd = line.strip()
+            if cmd == "ROUND":
+                t0 = time.perf_counter()
+                s = eng.run_round()
+                w = time.perf_counter() - t0
+                print(json.dumps({"rate": round(s["scheduled"] / w, 1),
+                                  "sec": round(w, 3),
+                                  "urls": s["scheduled"]}), flush=True)
+            elif cmd == "REF":
+                print(json.dumps({"ref": _parse_reference(cpus)}), flush=True)
+            else:
+                break
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        spark.stop()
+
+
 def _steal_pct(a: list[int], b: list[int]) -> float:
     d = [y - x for x, y in zip(a, b)]
     return round(d[7] / max(1, sum(d)) * 100, 2)
@@ -190,35 +244,107 @@ def _cpu_snap() -> list[int]:
         return [int(x) for x in f.readline().split()[1:]]
 
 
-def _crawl_subprocess(cpus: int, reps: int) -> dict:
-    """Run one crawl level in fresh processes (JVM heap/GC state from a
-    prior SparkContext in the same process skews the measurement) and
-    keep the best of ``reps`` runs: this VM shows transient host-steal
-    spikes of 2-3x wall clock, so min-of-N approximates the
-    uncontended machine. Steal%% during each run is recorded."""
+def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
+    """N vs 4N efficiency from ROUND-INTERLEAVED levels.
+
+    Two pinned single-level servers (disjoint CPU sets: low on
+    0..lo_n-1, high on lo_n..lo_n+hi_n-1) run each round CONCURRENTLY,
+    so every efficiency sample (low round i, high round i) measures
+    the SAME host instant — the host drifts through multi-minute
+    performance regimes, and sequential whole-level runs (~9 min
+    apart) were sampling different machines: measured pair ratios
+    swung 0.52-0.82 sequentially vs reproducible concurrent pairs.
+    Slice 0 is warm-up (JIT/codegen/page cache); headline = best warm
+    slice; the per-level raw-parse reference (same pinned envelope)
+    is taken right after the rounds for hardware normalization.
+    """
+    import shutil as _shutil
     import subprocess
 
-    best, samples = None, []
-    for _ in range(reps):
-        s0 = _cpu_snap()
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl", str(cpus)],
-            capture_output=True, text=True, check=True,
+    tset = _shutil.which("taskset")
+
+    def spawn(cpus: int, cpu_list: str) -> subprocess.Popen:
+        pin = [tset, "-c", cpu_list] if tset else []
+        p = subprocess.Popen(
+            [*pin, sys.executable, os.path.abspath(__file__),
+             "--crawl-server", str(cpus)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, bufsize=1,
         )
-        run = json.loads(out.stdout.strip().splitlines()[-1])
-        run["steal_pct"] = _steal_pct(s0, _cpu_snap())
-        samples.append({"sec": run["sec"],
-                        "best_round_urls_per_sec": run["best_round_urls_per_sec"],
-                        "steal_pct": run["steal_pct"]})
-        if best is None or run["best_round_urls_per_sec"] > best["best_round_urls_per_sec"]:
-            best = run
-    best["samples"] = samples
-    return best
+        assert json.loads(p.stdout.readline()).get("ready")
+        return p
+
+    def ask_both(lo_p, hi_p, cmd: str) -> tuple[dict, dict]:
+        # Fire the command at BOTH servers before reading either reply:
+        # the levels run CONCURRENTLY on their disjoint pinned CPU sets,
+        # so each (low, high) sample sees the exact same host instant —
+        # the same-moment comparison a real N-vs-4N cluster A/B gives.
+        # Replies are one small JSON line each; the faster server's
+        # line waits in its pipe buffer while we block on the slower.
+        for p in (lo_p, hi_p):
+            p.stdin.write(cmd + "\n")
+            p.stdin.flush()
+        return (json.loads(lo_p.stdout.readline()),
+                json.loads(hi_p.stdout.readline()))
+
+    lo_p = spawn(lo_n, f"0-{lo_n - 1}")
+    hi_p = spawn(hi_n, f"{lo_n}-{lo_n + hi_n - 1}")
+    try:
+        lo_rounds, hi_rounds, pairs, steals = [], [], [], []
+        t_all = time.perf_counter()
+        for i in range(slices):
+            s0 = _cpu_snap()
+            rl, rh = ask_both(lo_p, hi_p, "ROUND")
+            steals.append(_steal_pct(s0, _cpu_snap()))
+            lo_rounds.append(rl)
+            hi_rounds.append(rh)
+            if i >= 1:  # slice 0 is warm-up
+                pairs.append(round((rh["rate"] / rl["rate"]) / (hi_n / lo_n), 3))
+        wall = time.perf_counter() - t_all
+        lo_ref, hi_ref = (r["ref"] for r in ask_both(lo_p, hi_p, "REF"))
+    finally:
+        for p in (lo_p, hi_p):
+            try:
+                p.stdin.write("QUIT\n")
+                p.stdin.flush()
+                p.wait(timeout=60)
+            except Exception:
+                p.kill()
+
+    def level(cpus: int, rounds: list[dict], ref: float) -> dict:
+        urls = sum(r["urls"] for r in rounds)
+        secs = sum(r["sec"] for r in rounds)
+        rates = [r["rate"] for r in rounds]
+        return {
+            "cpus": cpus, "rounds": len(rounds), "urls": urls,
+            "sec": round(secs, 3),
+            "urls_per_sec": round(urls / secs, 1),
+            "best_round_urls_per_sec": max(rates[1:] or rates),
+            "round_urls_per_sec": rates,
+            "parse_ref_pages_per_sec": ref,
+            "steal_pct": max(steals),
+        }
+
+    eff = max(pairs)
+    hw = (hi_ref / lo_ref) / (hi_n / lo_n)
+    return {
+        "low": level(lo_n, lo_rounds, lo_ref),
+        "high": level(hi_n, hi_rounds, hi_ref),
+        "scaling_efficiency": eff,
+        "hw_parse_scaling": round(hw, 3),
+        "normalized_efficiency": round(eff / hw, 3) if hw else None,
+        "pairs": pairs,
+        "interleaved": True,
+        "wall_sec": round(wall, 3),
+    }
 
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--crawl":
         print(json.dumps(crawl_throughput(int(sys.argv[2]))))
+        return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--crawl-server":
+        crawl_server(int(sys.argv[2]))
         return
 
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
@@ -234,40 +360,16 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
-        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
         # N vs 4N: local[2] vs local[8] — both below this SMT box's
         # physical-core knee, the clean analog of N vs 4N executors.
         # (8→32 is vCPU-count scaling with a measured ~0.8 pure-CPU
-        # hardware ceiling — see BENCH/BASELINE.md.)
-        # The host drifts through multi-minute performance regimes, so
-        # each efficiency sample comes from an ADJACENT low/high pair
-        # (same regime window); headline = best pair.
+        # hardware ceiling — see BENCH/BASELINE.md.) Levels run
+        # round-INTERLEAVED on disjoint pinned CPU sets so every
+        # efficiency sample compares the same regime window.
         lo_n, hi_n = (int(x) for x in
                       os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "2,8").split(","))
-        pairs = []
-        for _ in range(reps):
-            lo = _crawl_subprocess(lo_n, 1)
-            hi = _crawl_subprocess(hi_n, 1)
-            eff = round(
-                (hi["best_round_urls_per_sec"] / lo["best_round_urls_per_sec"])
-                / (hi["cpus"] / lo["cpus"]), 3)
-            pairs.append({"low": lo, "high": hi, "scaling_efficiency": eff})
-        best = max(pairs, key=lambda p: p["scaling_efficiency"])
-        # hardware-normalized: share of the parallel speedup the raw
-        # CPU workload achieved (same moment, same machine) that the
-        # full engine round captured
-        hw = ((best["high"]["parse_ref_pages_per_sec"]
-               / best["low"]["parse_ref_pages_per_sec"])
-              / (best["high"]["cpus"] / best["low"]["cpus"]))
-        result["crawl"] = {
-            "low": best["low"],
-            "high": best["high"],
-            "scaling_efficiency": best["scaling_efficiency"],
-            "hw_parse_scaling": round(hw, 3),
-            "normalized_efficiency": round(
-                best["scaling_efficiency"] / hw, 3) if hw else None,
-            "pairs": [p["scaling_efficiency"] for p in pairs],
-        }
+        slices = int(os.environ.get("SPARK_GRAFT_BENCH_SLICES", "4"))
+        result["crawl"] = _interleaved_scaling(lo_n, hi_n, slices)
 
     print(json.dumps(result))
 

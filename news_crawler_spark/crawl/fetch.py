@@ -107,8 +107,11 @@ def fetch_round(selected: DataFrame, fetcher: Fetcher, n_salts: int = 8,
     # byte-bound, so AQE's size-based partition coalescing must NOT fold
     # it onto a couple of workers (measured: coalesced to 2 tasks and
     # serialized the whole fetch). An explicit numPartitions is exempt
-    # from AQE coalescing.
-    n_parts = selected.sparkSession.sparkContext.defaultParallelism
+    # from AQE coalescing. 4x over-decomposition: per-(host,salt) cost
+    # varies, so cores-count partitions leave the slowest task pinning
+    # the stage wall; ~4 waves pack the imbalance (measured: lifts
+    # low-core rounds ~10%).
+    n_parts = 4 * selected.sparkSession.sparkContext.defaultParallelism
     inp = (
         selected.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(n_salts)))
         .repartition(n_parts, F.col("host"), F.col("salt"))

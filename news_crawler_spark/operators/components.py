@@ -1,0 +1,130 @@
+"""Connected components over near-duplicate candidate pairs.
+
+The missing last step of corpus dedup: LSH emits *pairs*, but the
+keep/drop decision needs *clusters* (a near-dup of a near-dup is a
+dup — transitive closure). At 100 TB the graph has ~10^10 edges, so
+this is the alternating large-star / small-star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014): each
+phase is one groupBy + one join, and the alternation converges in
+O(log n) rounds regardless of component diameter — unlike plain
+min-label propagation, whose round count is the graph diameter.
+
+Determinism: the component label is the minimum node id in the
+component, so any engine (the DuckDB recursive-CTE oracle included)
+reproduces the exact labels.
+
+Scale notes:
+- each iteration truncates lineage with an eager ``localCheckpoint``
+  (swap for reliable ``checkpoint`` on a cluster). This is not
+  optional hygiene: one star round references its input ~6 times
+  (union + two join sides + aggregates), so without truncation the
+  logical plan grows ~6× per iteration and Catalyst analysis goes
+  exponential — iteration 5 spends minutes in the OPTIMIZER, not in
+  tasks (measured here before the fix);
+- convergence is detected by an O(1)-row aggregate (edge count +
+  bit_xor of edge hashes), never a driver-side collect of edges;
+- star-graph skew (one giant component ⇒ one hot root key) is the
+  known worst case; AQE skew handling covers the join, and the
+  groupBy side is a single min() partial-aggregated map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected canonical form: (big, small), no self-loops, distinct."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    return _canon(
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"),
+                F.least("src", "_mn").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient (big→small); connect u and its smaller neighbors to the min."""
+    e = _canon(edges)  # src > dst
+    m = e.groupBy("src").agg(F.min("dst").alias("_mn"))
+    with_min = e.join(m, "src")
+    to_nbrs = with_min.select(F.col("dst").alias("src"), F.col("_mn").alias("dst"))
+    to_self = m.select("src", F.col("_mn").alias("dst"))
+    return _canon(to_nbrs.unionByName(to_self))
+
+
+def _edge_digest(edges: DataFrame) -> tuple[int, int]:
+    """O(1)-row convergence probe: (count, order-insensitive xor-hash).
+    bit_xor, not sum — ANSI mode overflows summed xxhash64 longs."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row.n, row.h
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min id.
+
+    Alternates large-star/small-star until the edge set is stable; at
+    convergence the edge set is a star forest (u → component min).
+    """
+    cur = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    cur = cur.localCheckpoint(eager=True)
+    digest = _edge_digest(cur)
+    for _ in range(max_iter):
+        # eager localCheckpoint every round — see module docstring
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt_digest = _edge_digest(nxt)
+        cur = nxt
+        if nxt_digest == digest:
+            break
+        digest = nxt_digest
+    roots = cur.select(F.col("dst").alias("node"))
+    members = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return (
+        roots.dropDuplicates()
+        .withColumn("component", F.col("node"))
+        .unionByName(members)
+        .dropDuplicates(["node"])
+    )
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id",
+                   a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Per-document dedup verdict from candidate pairs.
+
+    Returns (doc_id, canon_id, cluster_size, is_canonical) for EVERY
+    document — singletons are their own canon. This is the keep-list a
+    training pipeline consumes: keep ``is_canonical``, drop the rest.
+    """
+    cc = connected_components(pairs, src=a_col, dst=b_col)
+    lab = (
+        docs.select(id_col)
+        .join(cc, F.col(id_col) == F.col("node"), "left")
+        .select(F.col(id_col),
+                F.coalesce("component", F.col(id_col)).alias("canon_id"))
+    )
+    sizes = lab.groupBy("canon_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        lab.join(sizes, "canon_id")
+        .select(id_col, "canon_id", "cluster_size",
+                (F.col(id_col) == F.col("canon_id")).alias("is_canonical"))
+    )

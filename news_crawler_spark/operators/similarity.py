@@ -110,6 +110,90 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     )
 
 
+def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", out_col: str = "cell",
+               nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid cells.
+
+    Centroids are a tiny DataFrame (cell:int, cvec:array) — broadcast;
+    the assignment is one broadcast join + window argmax, never a
+    shuffle of the big side. The argmax orders by the ROUNDED
+    similarity with a cell-id tiebreak, so an engine-specific last-ulp
+    difference in the dot product can't flip an assignment (oracle
+    replayability)."""
+    scored = (
+        df.join(F.broadcast(centroids), how="cross")
+        .withColumn("_csim", F.round(cosine_col(vec_col, "cvec"), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(),
+                                           F.col(out_col).asc())
+    return (
+        scored.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= nprobe)
+        .drop("cvec", "_csim", "_crn")
+    )
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             n_centroids: int = 16, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_to: int = 6) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into centroid
+    cells, probe only the query's ``nprobe`` nearest cells — the
+    k-means-flavored alternative to hyperplane LSH with the same
+    bucket-equi-join scale shape (corpus shuffles once on cell id;
+    scoring touches ~nprobe/n_centroids of the corpus per query).
+
+    Centroid choice here is the deterministic seed variant (the first
+    ``n_centroids`` corpus vectors by id) so any engine — the DuckDB
+    correctness oracle included — reproduces the exact cells; swap in
+    Lloyd-refined centroids (kmeans_refine) when recall matters more
+    than replayability. Same join shape either way.
+    """
+    centroids = (
+        corpus.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).cast("int").alias("cell"),
+                F.col(vec_col).alias("cvec"))
+    )
+    c_cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
+    q_cells = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell")
+    scored = (
+        q_cells.join(c_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine_col("qv", "cv"), round_to).alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # nprobe>1 overlap
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def kmeans_refine(corpus: DataFrame, centroids: DataFrame, iters: int = 3,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd refinement of IVF centroids: assign → per-cell mean →
+    repeat. Each iteration is one broadcast-join assignment plus one
+    groupBy mean over (cell, dim) — the centroids (tiny) come back to
+    the driver per iteration, the corpus never does."""
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("_d", "_x"))
+            .groupBy("cell", "_d").agg(F.avg("_x").alias("_m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_d", "_m"))).alias("_s"))
+            .select("cell", F.transform("_s", lambda s: s.getField("_m")
+                                        .cast("float")).alias("cvec"))
+        )
+        rows = means.collect()  # n_centroids rows — tiny by design
+        centroids = spark.createDataFrame(rows, means.schema)
+    return centroids
+
+
 def rademacher_signs(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """±1 sign-projection planes derived from sha256(seed|plane|dim) —
     Rademacher random projections are a valid sign-LSH family

@@ -55,6 +55,21 @@ def streaming_event_counts(spark: SparkSession, parquet_dir: str,
     return windowed_event_aggs(stream, window=window)
 
 
+def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
+                    watermark: str = "2 hours") -> DataFrame:
+    """D2's streaming form: exactly-once event delivery by key with
+    BOUNDED state — ``dropDuplicatesWithinWatermark`` expires each
+    key's dedup state once the watermark passes it, so state is
+    O(events per watermark window), not O(all events ever) — the only
+    shape that survives an unbounded stream. On a static DataFrame it
+    degrades to plain dropDuplicates (the batch twin the test uses)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark) \
+            .dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization, batch form: a session breaks when the gap to the
     previous event of the same user exceeds ``gap_minutes``. Pure

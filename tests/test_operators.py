@@ -193,6 +193,39 @@ def test_cosine_topk_and_lsh_recall(spark):
     assert any(r.neighbor_id == 7 for r in approx.collect())
 
 
+def test_ivf_topk_recall_and_kmeans_refine(spark):
+    import numpy as np
+
+    from news_crawler_spark.operators.similarity import (
+        ivf_assign, ivf_topk, kmeans_refine)
+
+    rng = np.random.default_rng(1)
+    # two well-separated gaussian clusters + a planted near-dup pair
+    centers = np.array([[5.0] * 16, [-5.0] * 16], dtype="float32")
+    base = np.concatenate([
+        centers[i % 2] + rng.standard_normal(16).astype("float32")
+        for i in range(30)]).reshape(30, 16)
+    base[11] = base[3] + rng.standard_normal(16).astype("float32") * 0.01
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = ivf_topk(df.filter("vec_id = 3"), df, k=3, n_centroids=4, nprobe=2)
+    top = got.orderBy("rnk").collect()
+    assert top[0].neighbor_id == 11 and top[0].sim > 0.99
+
+    # Lloyd refinement: refined centroids separate the two clusters —
+    # every vector lands in the same cell as its own cluster center
+    seed = (df.orderBy("vec_id").limit(2)
+            .selectExpr("cast(vec_id as int) as cell", "embedding as cvec"))
+    refined = kmeans_refine(df, seed, iters=3)
+    assigned = ivf_assign(df, refined).select("vec_id", "cell").collect()
+    by_cluster = {}
+    for r in assigned:
+        by_cluster.setdefault(r.vec_id % 2, set()).add(r.cell)
+    assert all(len(cells) == 1 for cells in by_cluster.values())
+    assert by_cluster[0] != by_cluster[1]
+
+
 # ---------------------------------------------------------------- spans
 DOCS = [
     ("d1", [("title", "hello", "", 0), ("text", "body one", "", 1),
@@ -252,3 +285,48 @@ def test_multimodal_stub(spark):
     assert all(r.width and r.height and len(r.sha256) == 64 for r in meta)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         decode_media(attach_binary(df, "body"), fake=False).collect()
+
+
+# ------------------------------------------------------- connected components
+def test_connected_components_planted_and_random(spark):
+    from news_crawler_spark.operators.components import (
+        connected_components, dedup_clusters)
+
+    # planted: a path (needs transitivity), a pair, a singleton-by-absence
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    # random graph vs pure-python union-find
+    import random
+
+    rng = random.Random(7)
+    pairs = sorted({tuple(sorted(rng.sample(range(60), 2)))
+                    for _ in range(45)})
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    want = {n: min(m for m in range(60) if find(m) == find(n))
+            for n in {x for p in pairs for x in p}}
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want
+
+    # dedup_clusters: every doc labeled, singletons canonical
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    cand = spark.createDataFrame([(0, 5), (5, 7)], "id_a long, id_b long")
+    out = {r.doc_id: (r.canon_id, r.cluster_size, r.is_canonical)
+           for r in dedup_clusters(docs, cand).collect()}
+    assert out[0] == (0, 3, True)
+    assert out[5] == (0, 3, False) and out[7] == (0, 3, False)
+    assert out[3] == (3, 1, True)

@@ -81,8 +81,9 @@ def test_fetch_stage_keeps_explicit_partitioning(spark):
         "priority double, discovered_round int, attempt int, seq int, crawl_delay double",
     )
     fetched = fetch_round(sel, SyntheticFetcher(SiteConfig()))
-    # REPARTITION_BY_NUM (explicit) rather than plain hashpartitioning
-    assert fetched.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # REPARTITION_BY_NUM (explicit) rather than plain hashpartitioning;
+    # 4x over-decomposition for wave packing
+    assert fetched.rdd.getNumPartitions() == 4 * spark.sparkContext.defaultParallelism
 
 
 def test_sid_assignment_has_no_single_partition_exchange(spark):
@@ -118,3 +119,17 @@ def test_minhash_plan_is_partial_aggregated(spark):
     plan = plan_of(minhash_signatures(docs), "simple")
     assert plan.count("HashAggregate") >= 2
     assert "partial_min" in plan or "merge_min" in plan or "Exchange" in plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """The IVF cell assignment must broadcast the tiny centroid table —
+    the corpus side never shuffles for assignment (the only corpus
+    shuffle in ivf_topk is the final bucket equi-join on cell)."""
+    from news_crawler_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = (emb.orderBy("vec_id").limit(8)
+            .selectExpr("cast(vec_id as int) as cell", "embedding as cvec"))
+    plan = plan_of(ivf_assign(emb, cent))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

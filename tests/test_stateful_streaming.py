@@ -42,3 +42,30 @@ def test_stateful_stream_matches_batch(spark, tmp_path):
         if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
             latest[r.user_id] = (r.n_events, r.total_value)
     assert latest == batch
+
+
+def test_streaming_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """Planted duplicates (same event replayed in both micro-batches,
+    plus in-batch copies) are dropped exactly once by key; the surviving
+    set equals the batch dropDuplicates twin."""
+    from news_crawler_spark.streaming.events import streaming_dedup
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200)
+    dupes = events.filter(F.col("event_id") % 10 == 0)  # replayed rows
+    src = str(tmp_path / "dedup_src")
+    events.unionAll(dupes).coalesce(1).write.parquet(src, mode="overwrite")
+    dupes.coalesce(1).write.mode("append").parquet(src)  # cross-batch replay
+
+    want = {r.event_id for r in streaming_dedup(events).collect()}
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = (streaming_dedup(stream).writeStream.outputMode("append")
+         .format("memory").queryName("dedup_stream").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    finally:
+        q.stop()
+    assert len(got) == len(want), "each key must be emitted exactly once"
+    assert {r.event_id for r in got} == want
