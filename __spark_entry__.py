@@ -431,6 +431,46 @@ def q_binary_meta(spark, sf_dir):
     )
 
 
+def q_training_pipeline(spark, sf_dir):
+    """End-to-end training-data pipeline, composed from the engine's
+    own operators: near-dup clustering → keep canonical docs only →
+    quality gate → deterministic stratified sample. One query, one
+    oracle — the composition a 100 TB corpus-prep job actually runs.
+    Scale shape: the only heavy stages are the LSH band join and the
+    O(log n) CC rounds; everything downstream is narrow filters."""
+    from news_crawler_spark.operators.components import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = (dedup_clusters(docs, minhash_lsh_candidates(docs))
+            .filter("is_canonical").select("doc_id"))
+    bucket = (
+        F.conv(F.substring(
+            F.sha2(F.concat(F.lit("smp|"), F.col("doc_id").cast("string")), 256),
+            1, 8), 16, 10).cast("long") % 1000)
+    return (
+        docs.join(keep, "doc_id")
+        .select("doc_id", "lang",
+                token_count("text").alias("n_tokens"),
+                quality_score("text").alias("quality"),
+                bucket.alias("_b"))
+        .filter((F.col("quality") >= 0.4) & (F.col("_b") < 800))
+        .drop("_b")
+    )
+
+
+def q_token_modes(spark, sf_dir):
+    """Token counting both ways (training-data op): whitespace tokens
+    vs BPE-ish regex tokens (letter runs / digit runs / single
+    symbols) — the cheap pre-tokenizer length estimate used for
+    sequence-length budgeting. Native regexp_extract_all, codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        token_count("text", mode="bpe").alias("bpe_tokens"),
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic hash-stratified sampling (training-data op):
     per-language rates via a sha256-derived uniform bucket — no RNG
@@ -940,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
+        "training_pipeline": q_training_pipeline,
+        "token_modes": q_token_modes,
         "sample_stratified": q_sample_stratified,
         "vocab_topk": q_vocab_topk,
         "lang_id": q_lang_id,
@@ -1207,6 +1249,50 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id,
                    sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "training_pipeline": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_minhash_lsh_oracle()})
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            comp AS (
+              SELECT a AS node, least(a, min(b)) AS comp
+              FROM reach GROUP BY a),
+            canon AS (
+              SELECT d.doc_id FROM documents d
+              LEFT JOIN comp c ON d.doc_id = c.node
+              WHERE coalesce(c.comp, d.doc_id) = d.doc_id),
+            scored AS (
+              SELECT d.doc_id, d.lang,
+                     len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens,
+                     round((
+                       least(length(d.text) / 500.0, 1.0)
+                       + greatest(0.0, 1.0 - 4.0 * (CASE WHEN length(d.text) > 0
+                          THEN (length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')))
+                               / CAST(length(d.text) AS DOUBLE) ELSE 0.0 END))
+                       + least(5.0 * (len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+                            x -> x IN ('the','and','of','to','a','in','is','it','for','on')))
+                            / CAST(len(string_split_regex(lower(trim(d.text)), '\\s+')) AS DOUBLE)), 1.0)
+                     ) / 3.0, 4) AS quality
+              FROM documents d JOIN canon USING (doc_id))
+            SELECT doc_id, lang, n_tokens, quality
+            FROM scored
+            WHERE quality >= 0.4
+              AND ('0x' || substr(sha256('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000 < 800
+        """,
+        "token_modes": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS bpe_tokens
             FROM documents
         """,
         "sample_stratified": """
