@@ -368,7 +368,7 @@ def main() -> None:
         # efficiency sample compares the same regime window.
         lo_n, hi_n = (int(x) for x in
                       os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "2,8").split(","))
-        slices = int(os.environ.get("SPARK_GRAFT_BENCH_SLICES", "4"))
+        slices = int(os.environ.get("SPARK_GRAFT_BENCH_SLICES", "5"))
         result["crawl"] = _interleaved_scaling(lo_n, hi_n, slices)
 
     print(json.dumps(result))

@@ -45,3 +45,22 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
 def read_documents_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(DOCUMENTS_FLAT_SCHEMA).parquet(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC with the same declared schema (columnar alternative for
+    warehouses standardized on ORC; identical Catalyst pushdown path)."""
+    return spark.read.schema(DOCUMENTS_FLAT_SCHEMA).orc(path)
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      partition_cols: list[str]) -> None:
+    """Hive-style partitioned layout (``col=value`` directories).
+
+    This is the 100 TB table convention: a filter on a partition column
+    prunes whole directories at PLANNING time (PartitionFilters in the
+    scan, asserted in tests/test_plans.py) — the scan never opens,
+    lists, or footers the skipped partitions. Choose low-cardinality
+    columns (date, source kind); high-cardinality partitioning makes
+    millions of tiny files and kills the listing instead."""
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)

@@ -133,3 +133,22 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     plan = plan_of(ivf_assign(emb, cent))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    """A filter on the partition column must prune at PLANNING time
+    (PartitionFilters on the scan) — at 100 TB this is the difference
+    between listing 3 directories and footer-reading every file."""
+    from news_crawler_spark.sources.readers import write_partitioned
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = str(tmp_path / "ev_part")
+    write_partitioned(ev, p, ["event_type"])
+    one_type = ev.select("event_type").first().event_type
+    df = (spark.read.parquet(p)
+          .filter(F.col("event_type") == one_type)
+          .select("event_id", "ts"))
+    plan = plan_of(df)
+    part_section = plan.split("PartitionFilters", 1)
+    assert len(part_section) == 2, "scan must expose PartitionFilters"
+    assert "event_type" in part_section[1].splitlines()[0]

@@ -95,3 +95,16 @@ def test_foreach_batch_snapshot_sink(spark, tmp_path):
     # replayed epoch is a no-op (idempotent sink)
     snapshot_table_sink(table)(table.read().drop("epoch"), 0)
     assert table.read().count() == len(batch_counts)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from news_crawler_spark.sources.readers import read_documents_orc
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    p = str(tmp_path / "docs_orc")
+    docs.write.orc(p)
+    got = read_documents_orc(spark, p)
+    assert got.count() == docs.count()
+    assert {r.doc_id for r in got.limit(50).collect()} <= \
+        {r.doc_id for r in docs.collect()}
