@@ -50,9 +50,11 @@ BENCH_QUERIES = [
     "text_stats",
     "sim_cosine_topk",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dup_clusters",
     "ivf_ann",
     "vocab_topk",
+    "training_pipeline",
 ]
 
 
