@@ -805,6 +805,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document sketches (rolling-window min-hash of
+    positional k-grams, operators/dedup.py) — containment/partial-copy
+    detection, the signal whole-document MinHash misses."""
+    from news_crawler_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: MinHash-LSH pairs closed under transitivity
     (alternating large-star/small-star connected components,
@@ -1006,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "doc_pipeline": q_doc_pipeline,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "dup_clusters": q_dup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1564,6 +1574,27 @@ def oracle_sql() -> dict[str, str]:
         # near-dup family: hash derivations are sha256 substrings in
         # BOTH engines, so these replay the full pipelines value-exactly
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "winnow_fingerprints": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t) - 1),
+                            i -> {'i': i,
+                                  'h': ('0x' || substr(sha256(
+                                           array_to_string(t[i:i+2], ' ')),
+                                        1, 8))::BIGINT % 2147483648})) AS s
+              FROM toks),
+            win AS (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY s.i) AS rn,
+                     min(s.h) OVER (PARTITION BY doc_id ORDER BY s.i
+                                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp
+              FROM g)
+            SELECT DISTINCT doc_id, fp FROM win WHERE rn >= 5
+        """,
         # transitive closure of the minhash pair SQL via recursive CTE;
         # component label = min doc_id, exactly the engine's convention
         "dup_clusters": f"""

@@ -330,3 +330,22 @@ def test_connected_components_planted_and_random(spark):
     assert out[0] == (0, 3, True)
     assert out[5] == (0, 3, False) and out[7] == (0, 3, False)
     assert out[3] == (3, 1, True)
+
+
+def test_winnowing_guarantees_containment_overlap(spark):
+    """Winnowing guarantee: a shared token run of >= w+k-1 tokens
+    shares at least one fingerprint; a contained copy shares most."""
+    from news_crawler_spark.operators.dedup import winnowing_fingerprints
+
+    inner = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    container = "intro words here " + inner + " closing remarks follow now"
+    other = "totally different vocabulary about spark physical plans"
+    df = spark.createDataFrame(
+        [(1, inner), (2, container), (3, other)], "doc_id long, text string")
+    fps = {i: set() for i in (1, 2, 3)}
+    for r in winnowing_fingerprints(df).collect():
+        fps[r.doc_id].add(r.fp)
+    shared = fps[1] & fps[2]
+    assert len(shared) >= max(1, len(fps[1]) // 2), "containment missed"
+    assert not (fps[1] & fps[3]), "unrelated docs must not collide"
