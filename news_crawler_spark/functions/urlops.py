@@ -35,3 +35,13 @@ def url_query(col) -> F.Column:
 def url_origin(col) -> F.Column:
     """scheme://host — the join base for relative refs (P10)."""
     return F.regexp_extract(_c(col), r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+
+
+def url_unquote(col) -> F.Column:
+    """Percent-decoding with ``urllib.parse.unquote`` semantics
+    (reference ``suricata_url.py:85-88``): '+' is a literal plus.
+    Spark's built-in ``url_decode`` is form-decoding ('+' → space), so
+    pluses are shielded as %2B first. Stays native/codegen — no UDF.
+    (No DuckDB oracle: v1.0 has no url_decode; parity is unit-tested
+    against urllib.parse.unquote directly.)"""
+    return F.url_decode(F.regexp_replace(_c(col), r"\+", "%2B"))

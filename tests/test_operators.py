@@ -349,3 +349,15 @@ def test_winnowing_guarantees_containment_overlap(spark):
     shared = fps[1] & fps[2]
     assert len(shared) >= max(1, len(fps[1]) // 2), "containment missed"
     assert not (fps[1] & fps[3]), "unrelated docs must not collide"
+
+
+def test_url_unquote_matches_urllib(spark):
+    from urllib.parse import unquote
+
+    from news_crawler_spark.functions.urlops import url_unquote
+
+    vals = ["a%20b%2Fc", "plus+stays", "%ED%95%9C%EA%B8%80",
+            "no-escapes", "q=%22x%22&y=1%2B2"]
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    got = [r.d for r in df.select(url_unquote("u").alias("d")).collect()]
+    assert got == [unquote(v) for v in vals]
