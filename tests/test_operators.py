@@ -361,3 +361,22 @@ def test_url_unquote_matches_urllib(spark):
     df = spark.createDataFrame([(v,) for v in vals], "u string")
     got = [r.d for r in df.select(url_unquote("u").alias("d")).collect()]
     assert got == [unquote(v) for v in vals]
+
+
+def test_near_dup_xxhash64_fast_path(spark):
+    """The production hash_fn='xxhash64' variant keeps identical
+    banding statistics: the planted pair is found, unrelated docs are
+    not paired, and winnowing containment still holds."""
+    from news_crawler_spark.operators.dedup import winnowing_fingerprints
+
+    df = _near_dup_df(spark)
+    mh = {(r.id_a, r.id_b)
+          for r in minhash_lsh_candidates(df, hash_fn="xxhash64").collect()}
+    assert (1, 2) in mh and (1, 3) not in mh
+    sh = {(r.id_a, r.id_b)
+          for r in simhash_buckets(df, hash_fn="xxhash64").collect()}
+    assert (1, 2) in sh and (1, 3) not in sh
+    fps = {}
+    for r in winnowing_fingerprints(df, hash_fn="xxhash64").collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2] and not (fps[1] & fps[3])
