@@ -805,6 +805,30 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
+def q_range_join(spark, sf_dir):
+    """Range (interval-containment) join via bucket decomposition
+    (operators/rangejoin.py): points = every event, intervals = 10-90
+    minute windows opened by every 53rd event. The bucket equi-join
+    replaces the BroadcastNestedLoopJoin a bare range predicate plans
+    to; the oracle is the plain theta join (exact same semantics)."""
+    from news_crawler_spark.operators.rangejoin import interval_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    points = ev.select(F.col("event_id").alias("point_id"), sec.alias("p_sec"))
+    intervals = (
+        ev.filter(F.pmod(F.col("event_id"), F.lit(53)) == 0)
+        .select(F.col("event_id").alias("interval_id"), sec.alias("s_sec"),
+                (sec + (F.pmod(F.col("event_id"), F.lit(9)) + 1) * 600)
+                .alias("e_sec"))
+    )
+    return (
+        interval_join_bucketed(points, intervals)
+        .select("point_id", "interval_id",
+                (F.col("p_sec") - F.col("s_sec")).alias("offset_sec"))
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing document sketches (rolling-window min-hash of
     positional k-grams, operators/dedup.py) — containment/partial-copy
@@ -1015,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "doc_pipeline": q_doc_pipeline,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "range_join": q_range_join,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dup_clusters": q_dup_clusters,
         "dedup_simhash": q_dedup_simhash,
@@ -1574,6 +1599,21 @@ def oracle_sql() -> dict[str, str]:
         # near-dup family: hash derivations are sha256 substrings in
         # BOTH engines, so these replay the full pipelines value-exactly
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "range_join": """
+            WITH pts AS (
+              SELECT event_id AS point_id,
+                     epoch_us(ts) // 1000000 AS p_sec
+              FROM events),
+            iv AS (
+              SELECT event_id AS interval_id,
+                     epoch_us(ts) // 1000000 AS s_sec,
+                     epoch_us(ts) // 1000000 + ((event_id % 9) + 1) * 600 AS e_sec
+              FROM events WHERE event_id % 53 = 0)
+            SELECT p.point_id, i.interval_id,
+                   p.p_sec - i.s_sec AS offset_sec
+            FROM pts p JOIN iv i
+              ON p.p_sec >= i.s_sec AND p.p_sec < i.e_sec
+        """,
         "winnow_fingerprints": """
             WITH toks AS (
               SELECT doc_id,

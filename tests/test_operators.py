@@ -380,3 +380,19 @@ def test_near_dup_xxhash64_fast_path(spark):
     for r in winnowing_fingerprints(df, hash_fn="xxhash64").collect():
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps[1] & fps[2] and not (fps[1] & fps[3])
+
+
+def test_interval_join_bucketed_exact(spark):
+    """Bucket-decomposed range join == brute-force containment,
+    including intervals spanning many buckets and bucket boundaries."""
+    from news_crawler_spark.operators.rangejoin import interval_join_bucketed
+
+    pts = [(i, 100 * i) for i in range(40)]  # p_sec 0..3900
+    ivs = [(100, 50, 1250), (101, 599, 601), (102, 1200, 1201),
+           (103, 3900, 5000), (104, 0, 1)]
+    p = spark.createDataFrame(pts, "point_id long, p_sec long")
+    i = spark.createDataFrame(ivs, "interval_id long, s_sec long, e_sec long")
+    got = {(r.point_id, r.interval_id)
+           for r in interval_join_bucketed(p, i, bucket_sec=600).collect()}
+    want = {(pid, iid) for pid, ps in pts for iid, s, e in ivs if s <= ps < e}
+    assert got == want

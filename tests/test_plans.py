@@ -152,3 +152,14 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     part_section = plan.split("PartitionFilters", 1)
     assert len(part_section) == 2, "scan must expose PartitionFilters"
     assert "event_type" in part_section[1].splitlines()[0]
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucket decomposition must plan as a hash/sort-merge
+    equi-join on the bucket key — a bare range predicate would be a
+    BroadcastNestedLoopJoin (O(points x intervals) at scale)."""
+    df = entry_mod.q_range_join(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
