@@ -488,6 +488,20 @@ def q_sample_stratified(spark, sf_dir):
     return docs.filter(bucket < rate).select("doc_id", "lang")
 
 
+def q_sample_k_per_group(spark, sf_dir):
+    """Exact-k-per-group deterministic sampling (eval-set carving:
+    'take 25 docs per language'): rank by a sha256-derived shuffle key
+    inside each group — reproducible on any engine/cluster size, no
+    RNG, one shuffle (the same groupBy-shaped exchange the downstream
+    per-group work needs anyway)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.sha2(F.concat(F.lit("smpk|"), F.col("doc_id").cast("string")), 256)
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (docs.select("doc_id", "lang")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 25))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary building: token frequencies per language, top-20 —
     the tokenizer-prep pass of a training pipeline. Shuffle is one
@@ -1016,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "token_modes": q_token_modes,
         "sample_stratified": q_sample_stratified,
+        "sample_k_per_group": q_sample_k_per_group,
         "vocab_topk": q_vocab_topk,
         "lang_id": q_lang_id,
         "binary_meta": q_binary_meta,
@@ -1336,6 +1351,14 @@ def oracle_sql() -> dict[str, str]:
                   % 1000
                   < CASE WHEN lang = 'en' THEN 300
                          WHEN lang = 'ko' THEN 700 ELSE 1000 END
+        """,
+        "sample_k_per_group": """
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY sha256('smpk|' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rnk
+            FROM documents QUALIFY rnk <= 25
         """,
         "vocab_topk": """
             WITH tok AS (

@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "dup_clusters",
     "ivf_ann",
     "vocab_topk",
+    "winnow_fingerprints",
+    "range_join",
     "training_pipeline",
 ]
 
