@@ -1,16 +1,24 @@
 """DataFrame-in/DataFrame-out operators: the reference's §2 inventory
 plus the training-data pipeline ops (dedup, similarity, text, media)."""
 
+from news_crawler_spark.operators.asof import asof_join
+from news_crawler_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
 from news_crawler_spark.operators.dedup import (
     exact_dedup,
     first_wins_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_buckets,
+    winnowing_fingerprints,
 )
-from news_crawler_spark.operators.topk import top_k_global, top_k_per_group
+from news_crawler_spark.operators.rangejoin import interval_join_bucketed
 from news_crawler_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    ivf_topk,
+    kmeans_refine,
     lsh_ann_topk,
 )
 from news_crawler_spark.operators.spanops import (
@@ -18,16 +26,24 @@ from news_crawler_spark.operators.spanops import (
     flatten_text,
     span_stats,
 )
+from news_crawler_spark.operators.topk import top_k_global, top_k_per_group
 
 __all__ = [
+    "asof_join",
+    "connected_components",
+    "dedup_clusters",
     "exact_dedup",
     "first_wins_dedup",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_buckets",
+    "winnowing_fingerprints",
+    "interval_join_bucketed",
     "top_k_global",
     "top_k_per_group",
     "cosine_topk_bruteforce",
+    "ivf_topk",
+    "kmeans_refine",
     "lsh_ann_topk",
     "document_links",
     "flatten_text",
