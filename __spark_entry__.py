@@ -458,6 +458,34 @@ def q_training_pipeline(spark, sf_dir):
     )
 
 
+def q_unpivot_metrics(spark, sf_dir):
+    """Relational UNPIVOT (wide metrics → long rows) — native
+    DataFrame.unpivot, the melt step feature pipelines run before
+    per-metric aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.select("l_orderkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(["l_orderkey", "l_linenumber"],
+                 ["l_quantity", "l_extendedprice", "l_discount"],
+                 "metric", "val")
+    )
+
+
+def q_map_ops(spark, sf_dir):
+    """Map-typed column family: create_map / map_keys / element_at /
+    size — all native."""
+    p = _t(spark, sf_dir, "part")
+    m = F.create_map(F.lit("brand"), F.col("p_brand"),
+                     F.lit("type"), F.col("p_type"))
+    return p.select(
+        "p_partkey",
+        F.map_keys(m).alias("ks"),
+        F.element_at(m, F.lit("brand")).alias("brand"),
+        F.size(m).alias("n"),
+    )
+
+
 def q_token_modes(spark, sf_dir):
     """Token counting both ways (training-data op): whitespace tokens
     vs BPE-ish regex tokens (letter runs / digit runs / single
@@ -1028,6 +1056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
         "training_pipeline": q_training_pipeline,
+        "unpivot_metrics": q_unpivot_metrics,
+        "map_ops": q_map_ops,
         "token_modes": q_token_modes,
         "sample_stratified": q_sample_stratified,
         "sample_k_per_group": q_sample_k_per_group,
@@ -1337,6 +1367,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality >= 0.4
               AND ('0x' || substr(sha256('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                   % 1000 < 800
+        """,
+        "unpivot_metrics": """
+            SELECT l_orderkey, l_linenumber, metric, val FROM (
+              SELECT l_orderkey, l_linenumber,
+                     l_quantity, l_extendedprice, l_discount
+              FROM lineitem WHERE l_orderkey < 100)
+            UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+        """,
+        "map_ops": """
+            SELECT p_partkey,
+                   map_keys(MAP {'brand': p_brand, 'type': p_type}) AS ks,
+                   map_extract(MAP {'brand': p_brand, 'type': p_type},
+                               'brand')[1] AS brand,
+                   cardinality(MAP {'brand': p_brand, 'type': p_type}) AS n
+            FROM part
         """,
         "token_modes": """
             SELECT doc_id,

@@ -396,3 +396,26 @@ def test_interval_join_bucketed_exact(spark):
            for r in interval_join_bucketed(p, i, bucket_sec=600).collect()}
     want = {(pid, iid) for pid, ps in pts for iid, s, e in ivs if s <= ps < e}
     assert got == want
+
+
+def test_interval_join_random_property(spark):
+    """Randomized property check: bucket-decomposed result equals the
+    brute-force containment join for arbitrary interval layouts
+    (zero-length, bucket-straddling, nested, disjoint)."""
+    import random
+
+    from news_crawler_spark.operators.rangejoin import interval_join_bucketed
+
+    rng = random.Random(99)
+    pts = [(i, rng.randrange(0, 50_000)) for i in range(300)]
+    ivs = []
+    for j in range(60):
+        s = rng.randrange(0, 50_000)
+        ln = rng.choice([0, 1, 5, 599, 600, 601, 7_000, 25_000])
+        ivs.append((1000 + j, s, s + ln))
+    p = spark.createDataFrame(pts, "point_id long, p_sec long")
+    i = spark.createDataFrame(ivs, "interval_id long, s_sec long, e_sec long")
+    got = {(r.point_id, r.interval_id)
+           for r in interval_join_bucketed(p, i, bucket_sec=600).collect()}
+    want = {(pid, iid) for pid, ps in pts for iid, s, e in ivs if s <= ps < e}
+    assert got == want
