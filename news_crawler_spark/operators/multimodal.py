@@ -88,3 +88,113 @@ def decode_media(df: DataFrame, fake: bool = False,
             yield pd.DataFrame(rows)
 
     return inp.mapInPandas(run, schema=MEDIA_META)
+
+
+RESIZED = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("body", T.BinaryType(), False),
+])
+
+FRAMES = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_ms", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), False),
+])
+
+
+def _gate(fake: bool, what: str) -> None:
+    if not fake:
+        raise NotImplementedError(
+            f"{what} requires image/video libs not present in this "
+            "container; pass fake=True for the deterministic stub")
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224,
+                  fake: bool = False,
+                  batch_partitions: int | None = None) -> DataFrame:
+    """Resize binary images to (width, height) via mapInPandas —
+    the normalize step before feature extraction. Real path = PIL;
+    the deterministic fake stretches a content hash to a fixed-size
+    body so downstream schema/row contracts are fully testable."""
+    inp = df.repartition(batch_partitions) if batch_partitions else df
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _gate(fake, "image resize")
+            out = {"doc_id": [], "width": [], "height": [], "body": []}
+            for r in pdf.itertuples(index=False):
+                body = bytes(r.body) if r.body is not None else b""
+                h = hashlib.sha256(body).digest()
+                out["doc_id"].append(r.doc_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["body"].append((h * (width * height // len(h) + 1))
+                                   [: width * height])
+            yield pd.DataFrame(out)
+
+    return inp.mapInPandas(run, schema=RESIZED)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8,
+                  fake: bool = False,
+                  batch_partitions: int | None = None) -> DataFrame:
+    """Sample frames from binary video every ``every_ms`` — UDTF shape
+    (one video row in, N frame rows out) via mapInPandas. Real path =
+    ffmpeg; the fake derives the duration from the content hash (same
+    rule as decode_media) and emits hash-derived frame bytes."""
+    inp = df.repartition(batch_partitions) if batch_partitions else df
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _gate(fake, "frame sampling")
+            out = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for r in pdf.itertuples(index=False):
+                body = bytes(r.body) if r.body is not None else b""
+                _, _, dur = _fake_decode(body, "video/mp4")
+                n = min(max_frames, max(1, (dur or 0) // every_ms))
+                for i in range(int(n)):
+                    out["doc_id"].append(r.doc_id)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame"].append(
+                        hashlib.sha256(body + i.to_bytes(4, "big")).digest())
+            yield pd.DataFrame(out)
+
+    return inp.mapInPandas(run, schema=FRAMES)
+
+
+def extract_features(df: DataFrame, dim: int = 64, fake: bool = False,
+                     batch_partitions: int | None = None) -> DataFrame:
+    """Binary media → embedding array<float> — the bridge from
+    multimodal payloads into the similarity/near-dup operators
+    (cosine top-k, LSH, IVF all consume its output directly). Real
+    path = a vision/audio model; the fake derives a deterministic
+    unit-free vector from the content hash, so planted duplicate
+    payloads land in identical embeddings (tested end-to-end into
+    embedding_near_dup)."""
+    import numpy as np
+
+    inp = df.repartition(batch_partitions) if batch_partitions else df
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _gate(fake, "feature extraction")
+            ids, vecs = [], []
+            for r in pdf.itertuples(index=False):
+                body = bytes(r.body) if r.body is not None else b""
+                raw = hashlib.sha256(body).digest()
+                buf = (raw * (dim * 4 // len(raw) + 1))[: dim * 4]
+                v = (np.frombuffer(buf, dtype=np.uint32).astype(np.float64)
+                     / np.float64(1 << 32) * 2.0 - 1.0)
+                ids.append(r.doc_id)
+                vecs.append([float(x) for x in v])
+            yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
+
+    return inp.mapInPandas(run, schema=schema)

@@ -419,3 +419,38 @@ def test_interval_join_random_property(spark):
            for r in interval_join_bucketed(p, i, bucket_sec=600).collect()}
     want = {(pid, iid) for pid, ps in pts for iid, s, e in ivs if s <= ps < e}
     assert got == want
+
+
+def test_multimodal_resize_frames_features(spark):
+    """The full multimodal verb set (resize, frame-sample,
+    feature-extract) with real Spark plumbing: schemas, UDTF-shaped
+    row expansion, determinism, gate on fake=False — and the bridge
+    into the similarity operators (duplicate payloads → identical
+    embeddings → cosine 1.0)."""
+    import pytest as _pytest
+
+    from news_crawler_spark.operators.multimodal import (
+        extract_features, resize_images, sample_frames)
+
+    rows = [("d1", b"payload-one"), ("d2", b"payload-two"),
+            ("d3", b"payload-one")]  # d3 duplicates d1's bytes
+    df = spark.createDataFrame(rows, "doc_id string, body binary")
+    media = attach_binary(df, "body")
+
+    rz = resize_images(media, width=8, height=4, fake=True).collect()
+    assert all(len(bytes(r.body)) == 8 * 4 and r.width == 8 for r in rz)
+
+    fr = sample_frames(media, every_ms=60_000, max_frames=5, fake=True)
+    got = fr.groupBy("doc_id").count().collect()
+    assert all(1 <= r["count"] <= 5 for r in got)
+    twice = sample_frames(media, every_ms=60_000, max_frames=5, fake=True)
+    assert sorted(map(tuple, fr.collect())) == sorted(map(tuple, twice.collect()))
+
+    emb = extract_features(media, dim=16, fake=True)
+    by_id = {r.doc_id: r.embedding for r in emb.collect()}
+    assert by_id["d1"] == by_id["d3"] != by_id["d2"]
+    assert len(by_id["d1"]) == 16 and all(-1.0 <= x <= 1.0 for x in by_id["d1"])
+
+    for op in (resize_images, sample_frames, extract_features):
+        with _pytest.raises(Exception, match="NotImplementedError|libs"):
+            op(media, fake=False).collect()
