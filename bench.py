@@ -118,7 +118,7 @@ def _parse_reference(procs: int, pages_per_proc: int = 24000,
     return best
 
 
-def _bench_engine(cpus: int, n_hosts: int = 200, pages_per_host: int = 18000,
+def _bench_engine(cpus: int, n_hosts: int = 200, pages_per_host: int = 42000,
                   richness: int = 2):
     """Build the bench crawl engine: frontier pre-populated with the
     FULL page universe (one hash-generated URL per (host, page) pair)
