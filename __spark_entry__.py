@@ -458,6 +458,32 @@ def q_training_pipeline(spark, sf_dir):
     )
 
 
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (operators/topk.py salted_agg):
+    the hot-key-skew defense — phase 1 fans each group over 16 salts,
+    phase 2 merges tiny partials. Integer value column so the result
+    is bitwise order-independent (float sums would reorder between the
+    one-phase oracle and the two-phase engine)."""
+    from news_crawler_spark.operators.topk import salted_agg
+
+    docs = _t(spark, sf_dir, "documents")
+    return salted_agg(docs, ["lang"], "n_chars", n_salts=16,
+                      salt_src="doc_id")
+
+
+def q_table_digest(spark, sf_dir):
+    """Order-insensitive table content digest (anti-entropy check):
+    bit_xor of a sha256-derived 60-bit row hash + row count — how two
+    replicas of a 100 TB snapshot are compared without moving data.
+    bit_xor, not sum: ANSI mode overflows summed longs."""
+    docs = _t(spark, sf_dir, "documents")
+    row_h = F.conv(F.substring(
+        F.sha2(F.concat_ws("|", "doc_id", "lang"), 256), 1, 15), 16, 10
+    ).cast("long")
+    return docs.agg(F.bit_xor(row_h).alias("digest"),
+                    F.count("*").alias("n"))
+
+
 def q_unpivot_metrics(spark, sf_dir):
     """Relational UNPIVOT (wide metrics → long rows) — native
     DataFrame.unpivot, the melt step feature pipelines run before
@@ -1056,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "fingerprint": q_fingerprint,
         "training_pipeline": q_training_pipeline,
+        "salted_agg": q_salted_agg,
+        "table_digest": q_table_digest,
         "unpivot_metrics": q_unpivot_metrics,
         "map_ops": q_map_ops,
         "token_modes": q_token_modes,
@@ -1367,6 +1395,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality >= 0.4
               AND ('0x' || substr(sha256('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                   % 1000 < 800
+        """,
+        "salted_agg": """
+            SELECT lang,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+                   count(*) AS n
+            FROM documents GROUP BY lang
+        """,
+        "table_digest": """
+            SELECT bit_xor(('0x' || substr(sha256(
+                       CAST(doc_id AS VARCHAR) || '|' || lang), 1, 15))::BIGINT)
+                     AS digest,
+                   count(*) AS n
+            FROM documents
         """,
         "unpivot_metrics": """
             SELECT l_orderkey, l_linenumber, metric, val FROM (

@@ -74,3 +74,37 @@ def global_row_number(df: DataFrame, key_col: str, out_col: str = "rn",
         .withColumn(out_col, off + F.col("_lrn"))
         .drop("_pid", "_lrn")
     )
+
+
+def salted_agg(df, keys: list[str], value_col: str, n_salts: int = 16,
+               salt_src: str | None = None):
+    """Two-phase salted aggregation for skewed group keys.
+
+    A plain groupBy on a power-law key (host, language, label) funnels
+    the hottest key through one reducer. Phase 1 groups on
+    (keys, salt) — the hot key fans out over ``n_salts`` reducers and
+    partial sums/counts stay map-side combined; phase 2 merges the
+    per-salt partials (tiny: |groups| x n_salts rows). Algebraic
+    aggregates only (sum/count here; min/max compose the same way).
+
+    The salt derives from a data column (deterministic — replayable by
+    an oracle), defaulting to the first key itself via sha2; pass
+    ``salt_src`` to salt on a finer-grained column (e.g. the row id)
+    when one key value dominates.
+    """
+    from pyspark.sql import functions as F
+
+    src = F.col(salt_src) if salt_src else F.col(keys[0])
+    salt = F.pmod(
+        F.conv(F.substring(F.sha2(src.cast("string"), 256), 1, 8), 16, 10)
+        .cast("long"), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.sum(value_col).alias("_s"), F.count("*").alias("_n"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(F.sum("_s").alias(f"sum_{value_col}"),
+             F.sum("_n").alias("n"))
+    )

@@ -163,3 +163,13 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_salted_agg_two_phase_exchanges(spark):
+    """Phase 1 must exchange on (keys, salt) — the hot key fans out —
+    and phase 2 on the keys alone; both aggregates partial map-side."""
+    df = entry_mod.q_salted_agg(spark, SF_DIR)
+    plan = plan_of(df, "extended")
+    assert "_salt" in plan
+    plan_phys = plan_of(df)
+    assert plan_phys.count("Exchange") >= 2
