@@ -467,8 +467,8 @@ def q_salted_agg(spark, sf_dir):
     from news_crawler_spark.operators.topk import salted_agg
 
     docs = _t(spark, sf_dir, "documents")
-    return salted_agg(docs, ["lang"], "n_chars", n_salts=16,
-                      salt_src="doc_id")
+    return salted_agg(docs, ["lang"], "n_chars", salt_src="doc_id",
+                      n_salts=16)
 
 
 def q_table_digest(spark, sf_dir):

@@ -52,6 +52,19 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.cmd == "crawl" and not args.state_dir:
         p.error("--state-dir is required (or set NCS_STATE_DIR)")
+    if args.cmd == "crawl":
+        # same validation bounds as the env path (config._INT_BOUNDS):
+        # the CLI must not accept what NCS_MAX_ATTEMPTS=... rejects
+        # (e.g. --max-attempts 0 silently kills every page first try)
+        from news_crawler_spark.config import _INT_BOUNDS
+
+        for flag, name in (("max_attempts", "max_attempts"),
+                           ("retry_jitter", "retry_jitter_span")):
+            lo, hi = _INT_BOUNDS[name]
+            v = getattr(args, flag)
+            if not (lo <= v <= hi):
+                p.error(f"--{flag.replace('_', '-')} {v} outside bounds "
+                        f"{lo}..{hi}")
     if args.cmd == "bench":
         import bench
 

@@ -39,9 +39,13 @@ def url_origin(col) -> F.Column:
 
 def url_unquote(col) -> F.Column:
     """Percent-decoding with ``urllib.parse.unquote`` semantics
-    (reference ``suricata_url.py:85-88``): '+' is a literal plus.
-    Spark's built-in ``url_decode`` is form-decoding ('+' → space), so
-    pluses are shielded as %2B first. Stays native/codegen — no UDF.
+    (reference ``suricata_url.py:85-88``): '+' is a literal plus, and
+    malformed escapes ('100% off', a truncated '%E') pass through
+    unchanged instead of crashing. Spark's built-in ``url_decode`` is
+    form-decoding ('+' → space) and throws CANNOT_DECODE_URL on a
+    stray '%' under ANSI, so lone percents are escaped to %25 and
+    pluses shielded as %2B first. Stays native/codegen — no UDF.
     (No DuckDB oracle: v1.0 has no url_decode; parity is unit-tested
     against urllib.parse.unquote directly.)"""
-    return F.url_decode(F.regexp_replace(_c(col), r"\+", "%2B"))
+    guarded = F.regexp_replace(_c(col), r"%(?![0-9A-Fa-f]{2})", "%25")
+    return F.url_decode(F.regexp_replace(guarded, r"\+", "%2B"))

@@ -66,12 +66,14 @@ def decode_media(df: DataFrame, fake: bool = False,
     inp = df.repartition(batch_partitions) if batch_partitions else df
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # gate BEFORE iterating: a partition with zero Arrow batches
+        # must raise on fake=False exactly like a populated one
+        if not fake:
+            raise NotImplementedError(
+                "media decode requires image/audio libs not present in "
+                "this container; pass fake=True for the deterministic stub"
+            )
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires image/audio libs not present in "
-                    "this container; pass fake=True for the deterministic stub"
-                )
             rows = {k: [] for k in
                     ("doc_id", "media_type", "n_bytes", "sha256",
                      "width", "height", "duration_ms")}
@@ -122,8 +124,8 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224,
     inp = df.repartition(batch_partitions) if batch_partitions else df
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _gate(fake, "image resize")  # before iterating: fires on empty partitions too
         for pdf in batches:
-            _gate(fake, "image resize")
             out = {"doc_id": [], "width": [], "height": [], "body": []}
             for r in pdf.itertuples(index=False):
                 body = bytes(r.body) if r.body is not None else b""
@@ -148,8 +150,8 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8,
     inp = df.repartition(batch_partitions) if batch_partitions else df
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _gate(fake, "frame sampling")  # before iterating: fires on empty partitions too
         for pdf in batches:
-            _gate(fake, "frame sampling")
             out = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
             for r in pdf.itertuples(index=False):
                 body = bytes(r.body) if r.body is not None else b""
@@ -184,8 +186,8 @@ def extract_features(df: DataFrame, dim: int = 64, fake: bool = False,
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _gate(fake, "feature extraction")  # before iterating: fires on empty partitions too
         for pdf in batches:
-            _gate(fake, "feature extraction")
             ids, vecs = [], []
             for r in pdf.itertuples(index=False):
                 body = bytes(r.body) if r.body is not None else b""

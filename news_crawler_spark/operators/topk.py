@@ -41,9 +41,12 @@ def global_row_number(df: DataFrame, key_col: str, out_col: str = "rn",
     partition id), row_number within each partition, then add
     per-partition cumulative offsets — the counts are one tiny
     driver-side collect (≤ n_parts rows, bounded by partition count,
-    not data) folded into a literal map. The persist pins the sampled
-    range partitioning so the counts pass and the final pass see the
-    same partition ids.
+    not data) folded into a literal map. The eager localCheckpoint
+    pins the sampled range partitioning so the counts pass and the
+    final pass see the same partition ids — localCheckpoint, not
+    persist: a persist here leaked one pinned cache entry per call
+    (RulesSink merges once per round), while checkpoint blocks are
+    released by the ContextCleaner once the result is GC'd.
 
     Keys must be unique (caller dedups); result is the exact global
     rank in key order.
@@ -52,7 +55,7 @@ def global_row_number(df: DataFrame, key_col: str, out_col: str = "rn",
         df.repartitionByRange(n_parts, F.col(key_col))
         .sortWithinPartitions(key_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["_pid"], r["n"]) for r in
@@ -76,8 +79,8 @@ def global_row_number(df: DataFrame, key_col: str, out_col: str = "rn",
     )
 
 
-def salted_agg(df, keys: list[str], value_col: str, n_salts: int = 16,
-               salt_src: str | None = None):
+def salted_agg(df, keys: list[str], value_col: str, salt_src: str,
+               n_salts: int = 16):
     """Two-phase salted aggregation for skewed group keys.
 
     A plain groupBy on a power-law key (host, language, label) funnels
@@ -87,14 +90,20 @@ def salted_agg(df, keys: list[str], value_col: str, n_salts: int = 16,
     per-salt partials (tiny: |groups| x n_salts rows). Algebraic
     aggregates only (sum/count here; min/max compose the same way).
 
-    The salt derives from a data column (deterministic — replayable by
-    an oracle), defaulting to the first key itself via sha2; pass
-    ``salt_src`` to salt on a finer-grained column (e.g. the row id)
-    when one key value dominates.
+    ``salt_src`` is REQUIRED and must be a row-level column (a row id,
+    url hash — anything with per-row variance): the salt derives from
+    sha2 over it, deterministic so an oracle can replay the two-phase
+    plan. A group-key-derived salt would be constant within the hot
+    group — the exact funnel this function exists to prevent.
     """
     from pyspark.sql import functions as F
 
-    src = F.col(salt_src) if salt_src else F.col(keys[0])
+    if salt_src in keys:
+        raise ValueError(
+            "salt_src must be a row-level column, not a group key: a "
+            "key-derived salt is constant within the hot group and the "
+            "fan-out becomes a no-op")
+    src = F.col(salt_src)
     salt = F.pmod(
         F.conv(F.substring(F.sha2(src.cast("string"), 256), 1, 8), 16, 10)
         .cast("long"), F.lit(n_salts))

@@ -35,9 +35,12 @@ def parse_rss(df: DataFrame, xml_col: str = "xml",
 
     ``pubDate`` is RFC-822 ("Wed, 02 Oct 2002 13:00:05 GMT"); Spark 3+
     cannot *parse* a day-of-week field, so the weekday prefix is
-    stripped before ``to_timestamp`` (the formatter side still emits
-    it). Missing/None pubDate → null pub_ts (callers fall back, as the
-    reference does via ``_parse_date``).
+    stripped before parsing (the formatter side still emits it).
+    ``try_to_timestamp``, not ``to_timestamp``: under ANSI mode (this
+    engine's default) a single malformed or differently-zoned pubDate
+    ("... +0000") would otherwise crash the whole distributed parse —
+    malformed dates must yield null pub_ts so callers fall back, as
+    the reference does via ``_parse_date``.
     """
     keep = keep_cols or []
     items = df.select(
@@ -47,9 +50,9 @@ def parse_rss(df: DataFrame, xml_col: str = "xml",
             .getField("channel").getField("item")
         ).alias("_i"),
     )
-    pub = F.to_timestamp(
+    pub = F.try_to_timestamp(
         F.regexp_replace(F.col("_i.pubDate"), r"^[A-Za-z]{3}, ", ""),
-        "dd MMM yyyy HH:mm:ss 'GMT'",
+        F.lit("dd MMM yyyy HH:mm:ss 'GMT'"),
     )
     return items.select(
         *keep,
@@ -84,9 +87,12 @@ def normalize_advisories(items: DataFrame, default_date: str = "1970-01-01",
 def latest_per_feed(advisories: DataFrame, feed_col: str, limit: int = 10) -> DataFrame:
     """S2 per-source limit (reference ``feed.entries[:limit]``,
     advisory.py:78 / news.py per-source cap): newest-first top-k per
-    feed with a deterministic link tiebreak."""
+    feed. Ranks by the full timestamp (not just the normalized date —
+    two same-day items must keep the later one) with a deterministic
+    link tiebreak."""
     return top_k_per_group(
         advisories, [feed_col],
-        [F.col("published").desc(), F.col("link").asc()], limit,
+        [F.col("published").desc(), F.col("pub_ts").desc_nulls_last(),
+         F.col("link").asc()], limit,
         rank_col="feed_rank",
     )

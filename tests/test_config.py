@@ -72,3 +72,18 @@ def test_cli_requires_state_dir(monkeypatch):
     monkeypatch.delenv("NCS_STATE_DIR", raising=False)
     with pytest.raises(SystemExit):
         cli.main(["crawl", "--rounds", "1"])
+
+
+def test_cli_rejects_out_of_bounds_flags():
+    """The CLI path enforces the same bounds as the env path — an
+    out-of-range --max-attempts must error, not silently kill retries."""
+    import pytest
+
+    from news_crawler_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["crawl", "--state-dir", "/tmp/x", "--max-attempts", "0",
+              "--rounds", "0"])
+    with pytest.raises(SystemExit):
+        main(["crawl", "--state-dir", "/tmp/x", "--retry-jitter", "99",
+              "--rounds", "0"])

