@@ -484,6 +484,58 @@ def q_table_digest(spark, sf_dir):
                     F.count("*").alias("n"))
 
 
+def q_hll_ndv(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (operators/sketches.py) at
+    two precisions vs the exact NDV, per language. p=12 lands in the
+    linear-counting regime at this scale and p=6 in the raw-estimator
+    regime, so the oracle exercises both branches. Every register is
+    sha256-substring-derived and the harmonic sum is exact BIGINT
+    arithmetic, so DuckDB replays the sketch bit-for-bit — the driver
+    hash-checks a cardinality *sketch*, not just its plumbing."""
+    from news_crawler_spark.operators.sketches import hll_count_distinct
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("text").alias("ndv_exact"))
+    p12 = hll_count_distinct(docs, "text", ["lang"], p=12,
+                             out_col="ndv_p12")
+    p6 = hll_count_distinct(docs, "text", ["lang"], p=6, out_col="ndv_p6")
+    return (
+        exact.join(p12, "lang").join(p6, "lang")
+        .select(
+            "lang", "ndv_exact", "ndv_p12", "ndv_p6",
+            F.round(F.lit(100.0)
+                    * F.abs(F.col("ndv_p12") - F.col("ndv_exact"))
+                    / F.col("ndv_exact"), 2).alias("err_pct_p12"))
+    )
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (operators/sketches.py): estimate the
+    frequencies of the exact top-20 tokens from the d×w counter table
+    and report the overcount (always ≥ 0 — CMS never underestimates).
+    The sketch is ≤ d·w rows however large the corpus; deterministic
+    sha2 hashing lets DuckDB rebuild the identical counters, so the
+    driver hash-checks the sketch's cell values, not just row counts.
+    Top-20 selection is orderBy+limit (TakeOrderedAndProject), not a
+    global window — no single-partition exchange."""
+    from news_crawler_spark.operators.sketches import (
+        cms_counters, cms_lookup)
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = (docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("token"))
+        .filter(F.length("token") >= 2))
+    counters = cms_counters(tok, "token", d=4, w=2048)
+    top = (tok.groupBy("token").agg(F.count("*").alias("n_exact"))
+           .orderBy(F.col("n_exact").desc(), "token").limit(20))
+    est = cms_lookup(counters, top, "token", d=4, w=2048)
+    return est.select(
+        "token", "n_exact", "cms_est",
+        (F.col("cms_est") - F.col("n_exact")).alias("overcount"))
+
+
 def q_unpivot_metrics(spark, sf_dir):
     """Relational UNPIVOT (wide metrics → long rows) — native
     DataFrame.unpivot, the melt step feature pipelines run before
@@ -695,6 +747,51 @@ def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return sessionize_batch(ev, gap_minutes=30).select(
         "user_id", "event_id", "session_no")
+
+
+def q_sliding_window_agg(spark, sf_dir):
+    """Native sliding-window aggregation (F.window, 1 h window /
+    30 min slide — each event lands in exactly 2 windows). The value
+    sum goes through floor(value*1000)→BIGINT so the aggregate is
+    order-insensitive exact integer arithmetic (a raw double sum
+    reorders between engines); min/max are order-insensitive already.
+    Scale shape: one Expand (×2 rows) + one hash agg — no self-join,
+    no window function over a global sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.floor(F.col("value") * 1000).cast("long"))
+             .alias("val_milli"),
+             F.min("value").alias("vmin"),
+             F.max("value").alias("vmax"))
+        .select(F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "event_type", "n", "val_milli", "vmin", "vmax")
+    )
+
+
+def q_session_window_agg(spark, sf_dir):
+    """Native session windows (F.session_window, 10 min gap) per user:
+    the event-time analog of the reference's per-source batching,
+    and the batch twin of streaming session state. Session end =
+    last event + gap (Spark semantics), replayed in the oracle as
+    gaps-and-islands (lag/cumsum). Boundary is INCLUSIVE: an event at
+    exactly prev_ts + gap merges into the session (probed on 4.1.2),
+    so the oracle breaks only on a STRICTLY greater gap."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("sw"),
+                   "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.floor(F.col("value") * 1000).cast("long"))
+             .alias("val_milli"))
+        .select("user_id",
+                F.col("sw.start").alias("sess_start"),
+                F.col("sw.end").alias("sess_end"),
+                "n_events", "val_milli")
+    )
 
 
 def q_asof_join(spark, sf_dir):
@@ -940,6 +1037,48 @@ def q_embedding_near_dup(spark, sf_dir):
 #    Spark pipeline hash-for-hash; loops keep the 32/64-column
 #    aggregations readable)
 
+def _hll_ndv_oracle(p: int, alias: str) -> str:
+    """DuckDB replay of operators/sketches.py hll_count_distinct over
+    documents.text grouped by lang: same 60-bit sha256-substring hash,
+    same exact-integer register sum (sum() is HUGEINT in DuckDB —
+    cast back, the round-1 lesson), same float-constant estimate (the
+    α·m²·2^s constant is embedded via repr() so both engines parse
+    the identical double)."""
+    from news_crawler_spark.operators.sketches import _alpha
+
+    m = 1 << p
+    sb = 60 - p              # suffix bits
+    sexp = sb + 1            # scale exponent: term = 2^(sexp - rho)
+    c = _alpha(m) * m * m * float(1 << sexp)
+    mask = (1 << sb) - 1
+    return f"""
+            SELECT lang,
+                   CAST(round(CASE WHEN e_raw <= {2.5 * m} AND zeros > 0
+                        THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                        ELSE e_raw END, 0) AS BIGINT) AS {alias}
+            FROM (
+              SELECT lang, {c!r} / s_total AS e_raw, zeros
+              FROM (
+                SELECT lang,
+                       CAST({m} - count(*) AS DOUBLE) AS zeros,
+                       CAST(CAST(sum(1::BIGINT << ({sexp} - r)) AS BIGINT)
+                            + ({m} - count(*)) * (1::BIGINT << {sexp})
+                            AS DOUBLE) AS s_total
+                FROM (
+                  SELECT lang, h >> {sb} AS bucket,
+                         max(CASE WHEN (h & {mask}) = 0 THEN {sb + 1}
+                             ELSE {sb} - length(bin(h & {mask})) + 1
+                             END) AS r
+                  FROM (
+                    SELECT lang,
+                           ('0x' || substr(sha256(CAST(text AS VARCHAR)),
+                                           1, 15))::BIGINT AS h
+                    FROM documents WHERE text IS NOT NULL)
+                  GROUP BY lang, bucket)
+                GROUP BY lang))
+        """
+
+
 def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8,
                         shingle_n: int = 3) -> str:
     rows = num_hashes // bands
@@ -1084,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "salted_agg": q_salted_agg,
         "table_digest": q_table_digest,
+        "hll_ndv": q_hll_ndv,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "unpivot_metrics": q_unpivot_metrics,
         "map_ops": q_map_ops,
         "token_modes": q_token_modes,
@@ -1099,6 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_rss_parse": q_s2_rss_parse,
         "join3_revenue": q_join3_revenue,
         "sessionize": q_sessionize,
+        "sliding_window_agg": q_sliding_window_agg,
+        "session_window_agg": q_session_window_agg,
         "asof_join": q_asof_join,
         "pivot": q_pivot,
         "cube": q_cube,
@@ -1409,6 +1552,49 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM documents
         """,
+        "hll_ndv": f"""
+            WITH exact AS (
+              SELECT lang, count(DISTINCT text) AS ndv_exact
+              FROM documents WHERE text IS NOT NULL GROUP BY lang),
+            p12 AS ({_hll_ndv_oracle(12, "ndv_p12")}),
+            p6 AS ({_hll_ndv_oracle(6, "ndv_p6")})
+            SELECT e.lang, ndv_exact, ndv_p12, ndv_p6,
+                   round(100.0 * abs(ndv_p12 - ndv_exact)
+                         / ndv_exact, 2) AS err_pct_p12
+            FROM exact e JOIN p12 USING (lang) JOIN p6 USING (lang)
+        """,
+        "cms_heavy_hitters": """
+            WITH t AS (
+              SELECT token FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS token
+                FROM documents)
+              WHERE len(token) >= 2),
+            exact AS (
+              SELECT token, count(*) AS n_exact FROM t GROUP BY token),
+            top AS (
+              SELECT token, n_exact FROM exact
+              ORDER BY n_exact DESC, token LIMIT 20),
+            cnt AS (
+              SELECT s.i,
+                     ('0x' || substr(sha256(CAST(s.i AS VARCHAR) || '|'
+                                            || token), 1, 15))::BIGINT
+                       % 2048 AS col,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM t, (SELECT unnest([0, 1, 2, 3]) AS i) s
+              GROUP BY 1, 2),
+            probe AS (
+              SELECT token, n_exact, s.i,
+                     ('0x' || substr(sha256(CAST(s.i AS VARCHAR) || '|'
+                                            || token), 1, 15))::BIGINT
+                       % 2048 AS col
+              FROM top, (SELECT unnest([0, 1, 2, 3]) AS i) s)
+            SELECT p.token, p.n_exact,
+                   CAST(min(c.cnt) AS BIGINT) AS cms_est,
+                   CAST(min(c.cnt) AS BIGINT) - p.n_exact AS overcount
+            FROM probe p JOIN cnt c USING (i, col)
+            GROUP BY p.token, p.n_exact
+        """,
         "unpivot_metrics": """
             SELECT l_orderkey, l_linenumber, metric, val FROM (
               SELECT l_orderkey, l_linenumber,
@@ -1593,6 +1779,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
             FROM g
+        """,
+        "sliding_window_agg": """
+            SELECT make_timestamp((epoch_us(ts) // 1800000000 - s.i)
+                                  * 1800000000) AS win_start,
+                   make_timestamp((epoch_us(ts) // 1800000000 - s.i + 2)
+                                  * 1800000000) AS win_end,
+                   event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                     AS val_milli,
+                   min(value) AS vmin,
+                   max(value) AS vmax
+            FROM events, (SELECT unnest([0, 1]) AS i) s
+            GROUP BY win_start, win_end, event_type
+        """,
+        "session_window_agg": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 600000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT user_id,
+                   min(ts) AS sess_start,
+                   max(ts) + INTERVAL 10 MINUTE AS sess_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                     AS val_milli
+            FROM s
+            GROUP BY user_id, sid
         """,
         "asof_join": """
             WITH o AS (

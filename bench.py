@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "dup_clusters",
     "ivf_ann",
     "vocab_topk",
+    "hll_ndv",
+    "cms_heavy_hitters",
+    "sliding_window_agg",
     "winnow_fingerprints",
     "range_join",
     "training_pipeline",
@@ -216,22 +219,34 @@ def crawl_server(cpus: int) -> None:
       REF   → raw multiprocess parse reference, reply {"ref"}
       QUIT  → cleanup and exit
     Spark logs go to stderr; stdout carries only protocol lines.
+
+    A command that throws (e.g. a Python Arrow worker killed by a
+    host hiccup mid-round — observed in sandbox runs) replies
+    {"error": ...} and exits instead of dying silently: the parent
+    must see a parseable line, not EOF, so it can respawn the pair
+    and keep the slices already measured.
     """
     spark, eng, state = _bench_engine(cpus)
     try:
         print(json.dumps({"ready": True}), flush=True)
         for line in sys.stdin:
             cmd = line.strip()
-            if cmd == "ROUND":
-                t0 = time.perf_counter()
-                s = eng.run_round()
-                w = time.perf_counter() - t0
-                print(json.dumps({"rate": round(s["scheduled"] / w, 1),
-                                  "sec": round(w, 3),
-                                  "urls": s["scheduled"]}), flush=True)
-            elif cmd == "REF":
-                print(json.dumps({"ref": _parse_reference(cpus)}), flush=True)
-            else:
+            try:
+                if cmd == "ROUND":
+                    t0 = time.perf_counter()
+                    s = eng.run_round()
+                    w = time.perf_counter() - t0
+                    print(json.dumps({"rate": round(s["scheduled"] / w, 1),
+                                      "sec": round(w, 3),
+                                      "urls": s["scheduled"]}), flush=True)
+                elif cmd == "REF":
+                    print(json.dumps({"ref": _parse_reference(cpus)}),
+                          flush=True)
+                else:
+                    break
+            except Exception as exc:  # noqa: BLE001 — protocol boundary
+                print(json.dumps({"error": f"{type(exc).__name__}: "
+                                           f"{str(exc)[:300]}"}), flush=True)
                 break
     finally:
         shutil.rmtree(state, ignore_errors=True)
@@ -278,6 +293,9 @@ def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
         assert json.loads(p.stdout.readline()).get("ready")
         return p
 
+    class ServerDied(RuntimeError):
+        pass
+
     def ask_both(lo_p, hi_p, cmd: str) -> tuple[dict, dict]:
         # Fire the command at BOTH servers before reading either reply:
         # the levels run CONCURRENTLY on their disjoint pinned CPU sets,
@@ -285,14 +303,36 @@ def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
         # the same-moment comparison a real N-vs-4N cluster A/B gives.
         # Replies are one small JSON line each; the faster server's
         # line waits in its pipe buffer while we block on the slower.
-        for p in (lo_p, hi_p):
-            p.stdin.write(cmd + "\n")
-            p.stdin.flush()
-        return (json.loads(lo_p.stdout.readline()),
-                json.loads(hi_p.stdout.readline()))
+        try:
+            for p in (lo_p, hi_p):
+                p.stdin.write(cmd + "\n")
+                p.stdin.flush()
+            replies = (lo_p.stdout.readline(), hi_p.stdout.readline())
+        except OSError as exc:  # broken pipe: a server already exited
+            raise ServerDied(str(exc)) from exc
+        out = []
+        for raw in replies:
+            if not raw:  # EOF — server crashed without a protocol line
+                raise ServerDied("server EOF (process crashed)")
+            r = json.loads(raw)
+            if "error" in r:  # server caught its own failure and exited
+                raise ServerDied(r["error"])
+            out.append(r)
+        return tuple(out)
 
-    lo_p = spawn(lo_n, f"0-{lo_n - 1}")
-    hi_p = spawn(hi_n, f"{lo_n}-{lo_n + hi_n - 1}")
+    def spawn_pair():
+        return (spawn(lo_n, f"0-{lo_n - 1}"),
+                spawn(hi_n, f"{lo_n}-{lo_n + hi_n - 1}"))
+
+    def kill_pair(lo_p, hi_p):
+        for p in (lo_p, hi_p):
+            try:
+                p.kill()
+                p.wait(timeout=30)
+            except Exception:
+                pass
+
+    lo_p, hi_p = spawn_pair()
 
     # a pair ratio > 1.0 is physically impossible (the engine cannot
     # scale super-linearly with cores): it means a brief host stall hit
@@ -310,13 +350,33 @@ def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
 
     target = float(os.environ.get("SPARK_GRAFT_BENCH_TARGET", "0.84"))
     max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "4"))
+    max_restarts = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RESTARTS", "2"))
+    restarts, aborted = 0, None
     try:
         lo_rounds, hi_rounds, pairs, steals = [], [], [], []
         t_all = time.perf_counter()
         i = 0
         while True:
             s0 = _cpu_snap()
-            rl, rh = ask_both(lo_p, hi_p, "ROUND")
+            try:
+                rl, rh = ask_both(lo_p, hi_p, "ROUND")
+            except ServerDied as exc:
+                # a host hiccup can kill a Python Arrow worker mid-
+                # round; don't lose the slices already measured —
+                # respawn BOTH servers (clean pipes, no stale replies)
+                # and discard one fresh warm-up round, bounded
+                if restarts >= max_restarts:
+                    aborted = f"server died ({exc}); restart budget spent"
+                    break
+                restarts += 1
+                kill_pair(lo_p, hi_p)
+                try:
+                    lo_p, hi_p = spawn_pair()
+                    ask_both(lo_p, hi_p, "ROUND")  # warm-up, unpaired
+                except Exception as exc2:  # noqa: BLE001
+                    aborted = f"respawn failed ({exc2})"
+                    break
+                continue
             steals.append(_steal_pct(s0, _cpu_snap()))
             lo_rounds.append(rl)
             hi_rounds.append(rh)
@@ -332,7 +392,11 @@ def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
             if (bv is not None and bv >= target) or i >= slices + max_extra:
                 break
         wall = time.perf_counter() - t_all
-        lo_ref, hi_ref = (r["ref"] for r in ask_both(lo_p, hi_p, "REF"))
+        try:
+            lo_ref, hi_ref = (r["ref"] for r in ask_both(lo_p, hi_p, "REF"))
+        except ServerDied as exc:
+            lo_ref = hi_ref = None  # report raw pairs unnormalized
+            aborted = aborted or f"ref sample failed ({exc})"
     finally:
         for p in (lo_p, hi_p):
             try:
@@ -342,7 +406,9 @@ def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
             except Exception:
                 p.kill()
 
-    def level(cpus: int, rounds: list[dict], ref: float) -> dict:
+    def level(cpus: int, rounds: list[dict], ref: float | None) -> dict:
+        if not rounds:
+            return {"cpus": cpus, "rounds": 0}
         urls = sum(r["urls"] for r in rounds)
         secs = sum(r["sec"] for r in rounds)
         rates = [r["rate"] for r in rounds]
@@ -353,27 +419,30 @@ def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
             "best_round_urls_per_sec": max(rates[1:] or rates),
             "round_urls_per_sec": rates,
             "parse_ref_pages_per_sec": ref,
-            "steal_pct": max(steals),
+            "steal_pct": max(steals) if steals else None,
         }
 
     eff = best_valid(pairs)
-    hw = (hi_ref / lo_ref) / (hi_n / lo_n)
     # hw > 1 is measurement noise (a CPU-bound workload cannot scale
     # super-linearly with cores): it means the low-level ref sample
     # caught a bad host regime. Normalization exists to EXCUSE the
     # engine when the hardware itself can't deliver 4x (hw < 1);
     # when hw >= 1 the raw pair already is the honest number, so the
     # divisor clamps at 1.0 instead of inflating the denominator.
-    hw_clamped = min(hw, 1.0)
+    hw = ((hi_ref / lo_ref) / (hi_n / lo_n)
+          if lo_ref and hi_ref else None)
+    hw_clamped = min(hw, 1.0) if hw else None
     return {
         "low": level(lo_n, lo_rounds, lo_ref),
         "high": level(hi_n, hi_rounds, hi_ref),
         "scaling_efficiency": eff,
-        "hw_parse_scaling": round(hw, 3),
+        "hw_parse_scaling": round(hw, 3) if hw else None,
         "normalized_efficiency": (round(eff / hw_clamped, 3)
                                   if hw and eff is not None else None),
         "pairs": pairs,
         "interleaved": True,
+        "restarts": restarts,
+        "aborted": aborted,
         "wall_sec": round(wall, 3),
     }
 

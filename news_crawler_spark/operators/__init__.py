@@ -15,6 +15,13 @@ from news_crawler_spark.operators.dedup import (
     winnowing_fingerprints,
 )
 from news_crawler_spark.operators.rangejoin import interval_join_bucketed
+from news_crawler_spark.operators.sketches import (
+    cms_counters,
+    cms_lookup,
+    hll_count_distinct,
+    hll_estimate,
+    hll_registers,
+)
 from news_crawler_spark.operators.similarity import (
     cosine_topk_bruteforce,
     ivf_topk,
@@ -32,8 +39,13 @@ __all__ = [
     "asof_join",
     "connected_components",
     "dedup_clusters",
+    "cms_counters",
+    "cms_lookup",
     "exact_dedup",
     "first_wins_dedup",
+    "hll_count_distinct",
+    "hll_estimate",
+    "hll_registers",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_buckets",

@@ -457,3 +457,103 @@ def test_multimodal_resize_frames_features(spark):
     for op in (resize_images, sample_frames, extract_features):
         with _pytest.raises(Exception, match="NotImplementedError|libs"):
             op(media, fake=False).collect()
+
+
+def test_hll_accuracy_both_branches(spark):
+    """HLL estimate within theoretical error on a 20k-NDV input:
+    p=12 (linear-counting regime at this NDV) near-exact, p=6 (raw
+    estimator, sigma ~ 1.04/8 = 13%) within 3 sigma."""
+    from news_crawler_spark.operators.sketches import hll_count_distinct
+
+    df = spark.range(20_000).selectExpr("CAST(id AS STRING) AS v")
+    p12 = hll_count_distinct(df, "v", p=12).collect()[0].ndv_hll
+    p6 = hll_count_distinct(df, "v", p=6).collect()[0].ndv_hll
+    assert abs(p12 - 20_000) / 20_000 < 0.05
+    assert abs(p6 - 20_000) / 20_000 < 0.40
+
+
+def test_hll_registers_merge_across_segments(spark):
+    """The register table is the mergeable state: max-merging two
+    segments' registers equals sketching the union directly — how a
+    100 TB corpus folds per-partition sketches without re-reading."""
+    from news_crawler_spark.operators.sketches import (
+        hll_estimate, hll_registers)
+
+    lo = spark.range(0, 6_000).selectExpr("CAST(id AS STRING) AS v")
+    hi = spark.range(4_000, 10_000).selectExpr("CAST(id AS STRING) AS v")
+    merged = (
+        hll_registers(lo, "v", p=10)
+        .unionByName(hll_registers(hi, "v", p=10))
+        .groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+    whole = hll_registers(
+        spark.range(10_000).selectExpr("CAST(id AS STRING) AS v"),
+        "v", p=10)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    est_m = hll_estimate(merged, p=10).collect()[0].ndv_hll
+    est_w = hll_estimate(whole, p=10).collect()[0].ndv_hll
+    assert est_m == est_w
+    assert abs(est_m - 10_000) / 10_000 < 0.15
+
+
+def test_hll_rejects_bad_precision(spark):
+    from news_crawler_spark.operators.sketches import hll_registers
+
+    df = spark.range(5).selectExpr("CAST(id AS STRING) AS v")
+    for p in (3, 19):
+        with pytest.raises(ValueError, match="p must be"):
+            hll_registers(df, "v", p=p)
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """CMS point estimates are >= true counts, exact when collision-
+    free; summing two segments' counter tables equals sketching the
+    union (the mergeable-state property)."""
+    from news_crawler_spark.operators.sketches import (
+        cms_counters, cms_lookup)
+
+    words = ["alpha"] * 50 + ["beta"] * 30 + ["gamma"] * 7 + ["delta"] * 1
+    df = spark.createDataFrame([(w,) for w in words], "v string")
+    counters = cms_counters(df, "v", d=4, w=64)
+    q = spark.createDataFrame(
+        [("alpha", 50), ("beta", 30), ("gamma", 7), ("delta", 1),
+         ("absent", 0)], "v string, truth long")
+    got = {r.v: (r.cms_est, r.truth)
+           for r in cms_lookup(counters, q, "v", d=4, w=64).collect()}
+    assert all(est >= truth for est, truth in got.values())
+    assert got["alpha"][0] == 50  # heavy item exact at this load
+
+    lo = spark.createDataFrame([(w,) for w in words[:40]], "v string")
+    hi = spark.createDataFrame([(w,) for w in words[40:]], "v string")
+    merged = (
+        cms_counters(lo, "v", d=4, w=64)
+        .unionByName(cms_counters(hi, "v", d=4, w=64))
+        .groupBy("i", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, counters.collect()))
+
+
+def test_session_window_gap_boundary(spark):
+    """Spark's session boundary is INCLUSIVE: an event at exactly
+    start+gap MERGES into the session (probed on 4.1.2); one
+    microsecond past the gap opens a new one. The session_window_agg
+    oracle pins this with a strictly-greater break condition."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1.0),                                # session A
+        (1, base + dt.timedelta(minutes=10), 2.0),     # exactly gap → merges
+        (2, base, 1.0),                                # session B
+        (2, base + dt.timedelta(minutes=10, microseconds=1), 2.0),  # > gap → new
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "n").collect()
+    )
+    per_user = sorted((r.user_id, r.n) for r in got)
+    assert per_user == [(1, 2), (2, 1), (2, 1)]
