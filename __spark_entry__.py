@@ -518,7 +518,10 @@ def q_cms_heavy_hitters(spark, sf_dir):
     sha2 hashing lets DuckDB rebuild the identical counters, so the
     driver hash-checks the sketch's cell values, not just row counts.
     Top-20 selection is orderBy+limit (TakeOrderedAndProject), not a
-    global window — no single-partition exchange."""
+    global window — no single-partition exchange. The corpus is
+    scanned ONCE: the demo needs exact counts anyway, so the sketch
+    is built by weighted insert from the aggregated vocab table
+    (identical cells to raw insertion — CMS is a sum)."""
     from news_crawler_spark.operators.sketches import (
         cms_counters, cms_lookup)
 
@@ -527,9 +530,10 @@ def q_cms_heavy_hitters(spark, sf_dir):
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
         .alias("token"))
         .filter(F.length("token") >= 2))
-    counters = cms_counters(tok, "token", d=4, w=2048)
-    top = (tok.groupBy("token").agg(F.count("*").alias("n_exact"))
-           .orderBy(F.col("n_exact").desc(), "token").limit(20))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n_exact"))
+    counters = cms_counters(vocab, "token", d=4, w=2048,
+                            weight_col="n_exact")
+    top = vocab.orderBy(F.col("n_exact").desc(), "token").limit(20)
     est = cms_lookup(counters, top, "token", d=4, w=2048)
     return est.select(
         "token", "n_exact", "cms_est",

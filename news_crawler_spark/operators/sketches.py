@@ -129,27 +129,38 @@ def _cms_col(value: F.Column, i: F.Column, w: int) -> F.Column:
 
 
 def cms_counters(df: DataFrame, value_col: str, d: int = 4,
-                 w: int = 2048) -> DataFrame:
+                 w: int = 2048, weight_col: str | None = None) -> DataFrame:
     """Count-min sketch [Cormode & Muthukrishnan 2005] counter table:
     (i, col, cnt) with d·w cells total, regardless of input size.
 
     Scale shape: each input row fans to d (i, col) pairs (one
     Generate) and the counters come from a single map-side-combinable
-    groupBy — the sketch is ≤ d·w rows however large the input, and
-    two segments' sketches merge by summing matching cells (the whole
-    point: frequency state that ships in KB). Deterministic sha2
-    hashing, so a SQL oracle rebuilds the identical table.
+    groupBy — the partial agg caps the shuffle at ≤ d·w cells per
+    input partition however large the input, and two segments'
+    sketches merge by summing matching cells (the whole point:
+    frequency state that ships in KB). Deterministic sha2 hashing, so
+    a SQL oracle rebuilds the identical table.
+
+    ``weight_col``: weighted insert — pass a pre-aggregated
+    (value, count) table to fold counts in without re-streaming the
+    raw rows (cell values are identical to raw insertion; standard
+    CMS practice when an aggregate already exists upstream).
     """
     if d < 1 or w < 8:
         raise ValueError(f"need d >= 1, w >= 8, got d={d}, w={w}")
     v = F.col("_v")
-    return (
+    base = (
         df.where(F.col(value_col).isNotNull())
-        .select(F.col(value_col).cast("string").alias("_v"))
-        .select("_v", F.explode(F.expr(f"sequence(0, {d - 1})")).alias("i"))
-        .select("i", _cms_col(v, F.col("i"), w).alias("col"))
-        .groupBy("i", "col").agg(F.count("*").alias("cnt"))
+        .select(F.col(value_col).cast("string").alias("_v"),
+                *( [F.col(weight_col).cast("long").alias("_wt")]
+                   if weight_col else [] ))
+        .select("_v", *(["_wt"] if weight_col else []),
+                F.explode(F.expr(f"sequence(0, {d - 1})")).alias("i"))
+        .select(*(["_wt"] if weight_col else []),
+                "i", _cms_col(v, F.col("i"), w).alias("col"))
     )
+    agg = F.sum("_wt") if weight_col else F.count("*")
+    return base.groupBy("i", "col").agg(agg.alias("cnt"))
 
 
 def cms_lookup(counters: DataFrame, queries: DataFrame, value_col: str,

@@ -45,14 +45,16 @@ def windowed_event_aggs(events: DataFrame, window: str = "1 hour",
 
 
 def streaming_event_counts(spark: SparkSession, parquet_dir: str,
-                           window: str = "1 hour") -> DataFrame:
-    """readStream → windowed agg; drive with memory sink +
-    processAllAvailable in tests (no long-running query needed)."""
+                           window: str = "1 hour",
+                           slide: str | None = None) -> DataFrame:
+    """readStream → windowed agg (tumbling, or sliding when ``slide``
+    is given); drive with memory sink + processAllAvailable in tests
+    (no long-running query needed)."""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
         .load(parquet_dir)
     )
-    return windowed_event_aggs(stream, window=window)
+    return windowed_event_aggs(stream, window=window, slide=slide)
 
 
 def streaming_dedup(events: DataFrame, keys: list[str] | None = None,

@@ -534,6 +534,13 @@ def test_cms_never_underestimates_and_merges(spark):
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, counters.collect()))
 
+    # weighted insert from a pre-aggregated (value, count) table
+    # produces the identical cells (CMS is a sum)
+    agg = df.groupBy("v").agg(F.count("*").alias("n"))
+    weighted = cms_counters(agg, "v", d=4, w=64, weight_col="n")
+    assert sorted(map(tuple, weighted.collect())) == \
+        sorted(map(tuple, counters.collect()))
+
 
 def test_session_window_gap_boundary(spark):
     """Spark's session boundary is INCLUSIVE: an event at exactly

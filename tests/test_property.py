@@ -89,3 +89,77 @@ def test_synth_page_deterministic_and_well_formed(i):
     assert a == b  # pure function of (seed, url)
     offsets = [o for (_, _, _, o) in a["spans"]]
     assert offsets == sorted(set(offsets))  # strictly increasing
+
+
+# --- sketches vs plain-Python models ------------------------------------
+VALUES = st.lists(st.text(alphabet="abcdefgh0123456789", min_size=1,
+                          max_size=8), min_size=1, max_size=80)
+
+
+def _py_hll_registers(values: list[str], p: int) -> dict[int, int]:
+    sb = 60 - p
+    regs: dict[int, int] = {}
+    for v in values:
+        h = int(hashlib.sha256(v.encode()).hexdigest()[:15], 16)
+        bucket, rest = h >> sb, h & ((1 << sb) - 1)
+        rho = sb + 1 if rest == 0 else sb - rest.bit_length() + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+@given(values=VALUES, p=st.sampled_from([6, 10, 12]))
+@FAST
+def test_hll_registers_match_python_model(spark, values, p):
+    """The distributed register table equals a serial Python HLL over
+    the same sha256 hashing — exactly, for arbitrary inputs; the
+    estimate agrees within rounding (log's last ulp may differ
+    between libm and the JVM)."""
+    import math
+
+    from news_crawler_spark.operators.sketches import (
+        _alpha, hll_count_distinct, hll_registers)
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = {r.bucket: r.r for r in hll_registers(df, "v", p=p).collect()}
+    regs = _py_hll_registers(values, p)
+    assert got == regs
+
+    m, sb = 1 << p, 60 - p
+    sexp = sb + 1
+    s_total = (sum(1 << (sexp - r) for r in regs.values())
+               + (m - len(regs)) * (1 << sexp))
+    e_raw = (_alpha(m) * m * m * float(1 << sexp)) / float(s_total)
+    zeros = m - len(regs)
+    est = (float(m) * math.log(float(m) / zeros)
+           if e_raw <= 2.5 * m and zeros > 0 else e_raw)
+    got_est = hll_count_distinct(df, "v", p=p).collect()[0].ndv_hll
+    assert abs(got_est - est) <= 1.0
+
+
+@given(values=VALUES, w=st.sampled_from([16, 64, 256]))
+@FAST
+def test_cms_counters_match_python_model(spark, values, w):
+    """Counter cells equal a serial Python CMS; point estimates never
+    underestimate the true frequency."""
+    from collections import Counter
+
+    from news_crawler_spark.operators.sketches import (
+        cms_counters, cms_lookup)
+
+    d = 3
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = {(r.i, r.col): r.cnt
+           for r in cms_counters(df, "v", d=d, w=w).collect()}
+    model: dict[tuple[int, int], int] = {}
+    for v in values:
+        for i in range(d):
+            h = int(hashlib.sha256(f"{i}|{v}".encode()).hexdigest()[:15], 16)
+            model[(i, h % w)] = model.get((i, h % w), 0) + 1
+    assert got == model
+
+    truth = Counter(values)
+    q = spark.createDataFrame([(v,) for v in set(values)], "v string")
+    ests = {r.v: r.cms_est for r in
+            cms_lookup(cms_counters(df, "v", d=d, w=w), q, "v",
+                       d=d, w=w).collect()}
+    assert all(ests[v] >= n for v, n in truth.items())

@@ -132,3 +132,28 @@ def test_sessionize_batch(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
     got = {r.event_id: r.session_no for r in sessionize_batch(df, 30).collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sliding_window_static_equals_streaming(spark, tmp_path):
+    """Sliding windows (1 h / 30 min) through the SAME plan, batch and
+    streamed — each event must land in exactly two windows on both
+    paths (the batch twin of the sliding_window_agg contract query)."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    static = {(r.w_start, r.event_type): (r.n, r.total)
+              for r in windowed_event_aggs(
+                  events, slide="30 minutes").collect()}
+    assert sum(n for n, _ in static.values()) == 2 * events.count()
+
+    src = str(tmp_path / "events_sliding")
+    events.write.parquet(src)
+    stream_df = streaming_event_counts(spark, src, window="1 hour",
+                                       slide="30 minutes")
+    q = (stream_df.writeStream.outputMode("complete")
+         .format("memory").queryName("ev_sliding").start())
+    try:
+        q.processAllAvailable()
+        streamed = {(r.w_start, r.event_type): (r.n, r.total)
+                    for r in spark.sql("SELECT * FROM ev_sliding").collect()}
+    finally:
+        q.stop()
+    assert streamed == static
