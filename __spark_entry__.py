@@ -540,6 +540,84 @@ def q_cms_heavy_hitters(spark, sf_dir):
         (F.col("cms_est") - F.col("n_exact")).alias("overcount"))
 
 
+def q_histogram_quantiles(spark, sf_dir):
+    """Mergeable fixed-bin histogram → quantile estimates (p50/p90/
+    p99 of event value per type), the third sketch family: quantile
+    state that merges by summing bins, vs the exact-percentile query
+    (`percentiles`) that must see all data. Integer cumulative
+    thresholds make the chosen bin engine-exact; the estimate is the
+    bin's left edge (error ≤ one width)."""
+    from news_crawler_spark.operators.sketches import (
+        histogram_counts, histogram_quantiles)
+
+    ev = _t(spark, sf_dir, "events")
+    hist = histogram_counts(ev, "value", ["event_type"],
+                            lo=0.0, hi=600.0, n_bins=120)
+    return histogram_quantiles(hist, [50, 90, 99], ["event_type"],
+                               lo=0.0, hi=600.0, n_bins=120)
+
+
+def q_pagerank_authority(spark, sf_dir):
+    """Link-graph authority (operators/linkrank.py): 3 PageRank power
+    iterations in exact scaled-integer arithmetic over a
+    deterministically hash-synthesized 400-node edge list, top-30 by
+    rank. Integer contributions commute under shuffle order, so the
+    unrolled-CTE oracle reproduces every rank bit-for-bit — an
+    ITERATIVE distributed algorithm under the value-hash gate."""
+    from news_crawler_spark.operators.linkrank import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(400)).alias("src"),
+            F.pmod(F.col("user_id") * F.lit(2654435761) + F.col("event_id"),
+                   F.lit(400)).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3)
+    return (ranks.orderBy(F.col("rank_micro").desc(), "node")
+            .limit(30))
+
+
+def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85,
+                     scale: int = 10**12) -> str:
+    """Unrolled-CTE replay of operators/linkrank.py pagerank: same
+    integer base/teleport, same per-edge `(r*d) div (100*outdeg)`
+    floor division (all operands positive, so DuckDB `//` == Spark
+    `div`), same left-join keep of dangling nodes."""
+    n_sq = "(SELECT count(*) FROM nodes)"
+    base = f"(({100 - damping_pct} * {scale}) // (100 * {n_sq}))"
+    ctes = [f"""
+            e AS (
+              SELECT DISTINCT user_id % 400 AS src,
+                     (user_id * 2654435761 + event_id) % 400 AS dst
+              FROM events
+              WHERE user_id % 400
+                    <> (user_id * 2654435761 + event_id) % 400),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            od AS (SELECT src, count(*) AS n_out FROM e GROUP BY src),
+            it0 AS (SELECT node,
+                           CAST({scale} // {n_sq} AS BIGINT) AS r
+                    FROM nodes)"""]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""
+            it{k} AS (
+              SELECT n.node,
+                     CAST({base} + coalesce(m.mass, 0) AS BIGINT) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(sum((r.r * {damping_pct})
+                                // (100 * od.n_out)) AS BIGINT) AS mass
+                FROM e JOIN it{k - 1} r ON e.src = r.node
+                       JOIN od ON e.src = od.src
+                GROUP BY e.dst) m ON n.node = m.node)""")
+    return (f"WITH {','.join(ctes)}\n"
+            f"            SELECT node, r AS rank_micro FROM it{iterations}\n"
+            f"            ORDER BY rank_micro DESC, node LIMIT 30")
+
+
 def q_unpivot_metrics(spark, sf_dir):
     """Relational UNPIVOT (wide metrics → long rows) — native
     DataFrame.unpivot, the melt step feature pipelines run before
@@ -1229,6 +1307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_digest": q_table_digest,
         "hll_ndv": q_hll_ndv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "histogram_quantiles": q_histogram_quantiles,
+        "pagerank_authority": q_pagerank_authority,
         "unpivot_metrics": q_unpivot_metrics,
         "map_ops": q_map_ops,
         "token_modes": q_token_modes,
@@ -1598,6 +1678,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(c.cnt) AS BIGINT) - p.n_exact AS overcount
             FROM probe p JOIN cnt c USING (i, col)
             GROUP BY p.token, p.n_exact
+        """,
+        "pagerank_authority": _pagerank_oracle(),
+        "histogram_quantiles": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(least(greatest(floor((value - 0.0) / 5.0), 0),
+                                119) AS INTEGER) AS bin,
+                     count(*) AS cnt
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2),
+            c AS (
+              SELECT event_type, bin,
+                     CAST(sum(cnt) OVER (PARTITION BY event_type
+                                         ORDER BY bin
+                                         ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum,
+                     CAST(sum(cnt) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n
+              FROM h),
+            x AS (
+              SELECT * FROM c, (SELECT unnest([50, 90, 99]) AS pct) p
+              WHERE cum >= (pct * n + 99) // 100)
+            SELECT event_type, pct, CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(bin) * 5.0 AS DOUBLE) AS est
+            FROM x GROUP BY 1, 2
         """,
         "unpivot_metrics": """
             SELECT l_orderkey, l_linenumber, metric, val FROM (

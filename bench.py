@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "hll_ndv",
     "cms_heavy_hitters",
     "sliding_window_agg",
+    "histogram_quantiles",
+    "pagerank_authority",
     "winnow_fingerprints",
     "range_join",
     "training_pipeline",

@@ -14,6 +14,7 @@ from news_crawler_spark.operators.dedup import (
     simhash_buckets,
     winnowing_fingerprints,
 )
+from news_crawler_spark.operators.linkrank import pagerank
 from news_crawler_spark.operators.rangejoin import interval_join_bucketed
 from news_crawler_spark.operators.sketches import (
     cms_counters,
@@ -48,6 +49,7 @@ __all__ = [
     "hll_registers",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
+    "pagerank",
     "simhash_buckets",
     "winnowing_fingerprints",
     "interval_join_bucketed",

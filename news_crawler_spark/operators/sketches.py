@@ -119,6 +119,66 @@ def hll_count_distinct(df: DataFrame, value_col: str,
                         group_cols, p, out_col)
 
 
+def histogram_counts(df: DataFrame, value_col: str,
+                     group_cols: list[str] | None = None,
+                     lo: float = 0.0, hi: float = 1.0,
+                     n_bins: int = 64) -> DataFrame:
+    """Fixed-bin histogram: (group..., bin, cnt) — the mergeable
+    quantile/distribution state (merge = sum matching bins). Out-of-
+    range values clamp into the edge bins (documented estimator bias
+    at the extremes; pick [lo, hi) from domain knowledge or a first
+    min/max pass). The bin index is floor((v-lo)/width) — a fixed
+    IEEE double op sequence, so engines agree bit-for-bit."""
+    if n_bins < 2 or not hi > lo:
+        raise ValueError(f"need n_bins >= 2 and hi > lo, got "
+                         f"{n_bins}, [{lo}, {hi})")
+    groups = list(group_cols or [])
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, b.alias("bin"))
+        .groupBy(*groups, "bin").agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(hist: DataFrame, percents: list[int],
+                        group_cols: list[str] | None = None,
+                        lo: float = 0.0, hi: float = 1.0,
+                        n_bins: int = 64) -> DataFrame:
+    """Per-group quantile estimates from a histogram_counts table:
+    for each integer percent p, the LEFT EDGE of the first bin whose
+    cumulative count reaches ceil(p·N/100) — thresholds are pure
+    integer arithmetic ((p·N + 99) div 100), so the selected bin is
+    engine-exact; only the final edge value is a float. Estimate
+    error ≤ one bin width, the classic mergeable-histogram bound.
+
+    The window/cumsum here runs over the AGGREGATED histogram
+    (≤ n_bins rows per group), not the data — per-group sequential
+    work is O(n_bins) regardless of input size."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    width = (hi - lo) / n_bins
+    w = (Window.partitionBy(*groups).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wn = Window.partitionBy(*groups)
+    cum = (hist
+           .withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(wn)))
+    p = F.explode(F.array(*[F.lit(int(x)) for x in percents])).alias("pct")
+    return (
+        cum.select(*groups, "bin", "cum", "n", p)
+        .where(F.col("cum") >= F.expr("(pct * n + 99) div 100"))
+        .groupBy(*groups, "pct")
+        .agg(F.min("bin").alias("_b"),
+             F.max("n").alias("n"))
+        .select(*groups, "pct", "n",
+                (F.lit(lo) + F.col("_b") * F.lit(width)).alias("est"))
+    )
+
+
 def _cms_col(value: F.Column, i: F.Column, w: int) -> F.Column:
     """Row-i counter column for ``value``: 60-bit sha2-substring hash
     of "i|value" mod width. Non-negative (h < 2^60), so pmod == DuckDB

@@ -564,3 +564,58 @@ def test_session_window_gap_boundary(spark):
     )
     per_user = sorted((r.user_id, r.n) for r in got)
     assert per_user == [(1, 2), (2, 1), (2, 1)]
+
+
+def test_pagerank_matches_python_model_exactly(spark):
+    """Integer PageRank equals a serial Python replay bit-for-bit
+    (the property the unrolled-CTE oracle relies on), including a
+    sink node (in-links only) whose mass is kept, not redistributed."""
+    from news_crawler_spark.operators.linkrank import pagerank
+
+    edge_list = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+                 ("d", "a"), ("a", "sink")]
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: r.rank_micro
+           for r in pagerank(df, iterations=3).collect()}
+
+    scale, d_pct = 10**12, 85
+    nodes = sorted({x for e in edge_list for x in e})
+    out = {}
+    for s, _ in edge_list:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    base = (100 - d_pct) * scale // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(3):
+        mass = {v: 0 for v in nodes}
+        for s, t in edge_list:
+            mass[t] += (r[s] * d_pct) // (100 * out[s])
+        r = {v: base + mass[v] for v in nodes}
+    assert got == r
+    assert got["sink"] > base  # sink received mass and kept it
+
+
+def test_histogram_quantiles_bounds_and_merge(spark):
+    """Estimates sit within one bin width of the exact percentile;
+    bin-summing two segments' histograms equals the whole histogram."""
+    from news_crawler_spark.operators.sketches import (
+        histogram_counts, histogram_quantiles)
+
+    vals = [float(x) for x in range(1000)]  # uniform 0..999
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    kw = dict(lo=0.0, hi=1000.0, n_bins=50)  # width 20
+    hist = histogram_counts(df, "v", **kw)
+    est = {r.pct: r.est
+           for r in histogram_quantiles(hist, [50, 90, 99], **kw).collect()}
+    import numpy as np
+    for pct in (50, 90, 99):
+        exact = float(np.percentile(vals, pct))
+        assert abs(est[pct] - exact) <= 20.0 + 1e-9
+
+    lo_half = spark.createDataFrame([(v,) for v in vals[:500]], "v double")
+    hi_half = spark.createDataFrame([(v,) for v in vals[500:]], "v double")
+    merged = (histogram_counts(lo_half, "v", **kw)
+              .unionByName(histogram_counts(hi_half, "v", **kw))
+              .groupBy("bin").agg(F.sum("cnt").alias("cnt")))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, hist.collect()))
