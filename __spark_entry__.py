@@ -540,6 +540,26 @@ def q_cms_heavy_hitters(spark, sf_dir):
         (F.col("cms_est") - F.col("n_exact")).alias("overcount"))
 
 
+def q_salted_join_revenue(spark, sf_dir):
+    """Skew-safe salted equi-join (operators/topk.py salted_join):
+    the small side replicates once per salt, the big side salts on a
+    row-level column, so a hot join key spreads over n_salts tasks;
+    the result multiset is exactly the plain join's, which is what
+    the oracle runs. Revenue summed in integer cents (floor×100) so
+    the aggregate is shuffle-order-exact."""
+    from news_crawler_spark.operators.topk import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").withColumnRenamed(
+        "p_partkey", "l_partkey")
+    j = salted_join(li, part, "l_partkey", salt_src="l_orderkey",
+                    n_salts=8)
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("cents"))
+
+
 def q_histogram_quantiles(spark, sf_dir):
     """Mergeable fixed-bin histogram → quantile estimates (p50/p90/
     p99 of event value per type), the third sketch family: quantile
@@ -1307,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_digest": q_table_digest,
         "hll_ndv": q_hll_ndv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "salted_join_revenue": q_salted_join_revenue,
         "histogram_quantiles": q_histogram_quantiles,
         "pagerank_authority": q_pagerank_authority,
         "unpivot_metrics": q_unpivot_metrics,
@@ -1680,6 +1701,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.token, p.n_exact
         """,
         "pagerank_authority": _pagerank_oracle(),
+        "salted_join_revenue": """
+            SELECT p_brand, count(*) AS n,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
         "histogram_quantiles": """
             WITH h AS (
               SELECT event_type,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "sliding_window_agg",
     "histogram_quantiles",
     "pagerank_authority",
+    "salted_join_revenue",
     "winnow_fingerprints",
     "range_join",
     "training_pipeline",

@@ -117,3 +117,41 @@ def salted_agg(df, keys: list[str], value_col: str, salt_src: str,
         .agg(F.sum("_s").alias(f"sum_{value_col}"),
              F.sum("_n").alias("n"))
     )
+
+
+def salted_join(big, small, key: str, salt_src: str, n_salts: int = 8,
+                how: str = "inner"):
+    """Skew-safe equi-join: the join-side twin of :func:`salted_agg`.
+
+    A hash join on a power-law key funnels every row of the hot key
+    through one task (AQE's skew split helps mid-shuffle but cannot
+    split a single key's build side). This replicates the SMALL side
+    once per salt (n_salts× a broadcast-scale table — cheap) and
+    salts the BIG side from a row-level column, so the hot key's
+    probe rows spread across ``n_salts`` tasks; each big row matches
+    exactly one replica, so the result multiset equals the plain
+    join's (the oracle runs the plain SQL join).
+
+    ``salt_src`` must be a row-level big-side column (row id, url
+    hash); sha2-derived so replays are deterministic. ``how``:
+    'inner' or 'left' (semantics preserved for both — a big row
+    either matches its one replica or null-extends).
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt_src == key:
+        raise ValueError("salt_src must be row-level, not the join key")
+    salt = F.pmod(
+        F.conv(F.substring(F.sha2(F.col(salt_src).cast("string"), 256),
+                           1, 8), 16, 10).cast("long"),
+        F.lit(n_salts))
+    big_s = big.withColumn("_salt", salt)
+    # sequence over BIGINT bounds so the exploded salt matches the
+    # big side's long salt without casting the generator (casting a
+    # generator expression is an analysis error)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.expr(
+            f"sequence(CAST(0 AS BIGINT), CAST({n_salts - 1} AS BIGINT))")))
+    return big_s.join(small_s, [key, "_salt"], how).drop("_salt")

@@ -182,3 +182,28 @@ def test_salted_agg_two_phase_exchanges(spark):
     assert "_salt" in plan
     plan_phys = plan_of(df)
     assert plan_phys.count("Exchange") >= 2
+
+
+def test_salted_join_spreads_key_across_salt_partitions(spark):
+    """With broadcast off, the salted join must shuffle on
+    (key, _salt) — the hot key spans n_salts partitions instead of
+    one — and equal the plain join's result multiset."""
+    from news_crawler_spark.operators.topk import salted_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        part = (spark.read.parquet(f"{SF_DIR}/part.parquet")
+                .withColumnRenamed("p_partkey", "l_partkey"))
+        j = salted_join(li, part, "l_partkey", salt_src="l_orderkey",
+                        n_salts=8)
+        plan = plan_of(j, "simple")
+        assert "_salt" in plan and "hashpartitioning(l_partkey" in plan
+        got = sorted(map(tuple, j.select(
+            "l_orderkey", "l_partkey", "p_brand").collect()))
+        want = sorted(map(tuple, li.join(part, "l_partkey").select(
+            "l_orderkey", "l_partkey", "p_brand").collect()))
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
