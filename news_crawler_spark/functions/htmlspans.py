@@ -70,3 +70,34 @@ def html_to_spans(html: str) -> list[tuple[str, str, str, int]]:
     except Exception:
         pass  # truncated/hostile HTML: keep spans parsed so far (T5)
     return p.spans
+
+
+SPANS_TYPE = ("array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+
+
+def parse_spans(col):
+    """Standalone span-parse column UDF (SURVEY.md §2.13: the S6
+    re-parse path — re-derive span sequences from stored HTML bodies
+    without re-fetching). Arrow-batched scalar pandas UDF around
+    :func:`html_to_spans`; null/empty bodies → empty span array, so a
+    re-parse over a snapshot never throws mid-job.
+
+    The fetch round parses inline inside its own mapInPandas island
+    (crawl/fetch.py) — this is the same parser exposed as a column
+    function for DataFrame-level re-parse/backfill jobs.
+    """
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf(SPANS_TYPE)
+    def _parse(bodies):
+        # untyped signature + explicit returnType: the hint-based
+        # form needs module-global pandas for annotation resolution
+        return bodies.map(
+            lambda h: [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in html_to_spans(h)
+            ] if isinstance(h, str) and h else [])
+
+    return _parse(col)

@@ -619,3 +619,24 @@ def test_histogram_quantiles_bounds_and_merge(spark):
               .groupBy("bin").agg(F.sum("cnt").alias("cnt")))
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, hist.collect()))
+
+
+def test_parse_spans_udf_matches_python_parser(spark):
+    """The standalone re-parse UDF (S6 backfill path) returns exactly
+    html_to_spans for real rendered fixture HTML, and empty arrays
+    for null/empty bodies instead of throwing."""
+    from news_crawler_spark.fixtures.sitegen import SiteConfig, synth_html
+    from news_crawler_spark.functions.htmlspans import (
+        html_to_spans, parse_spans)
+
+    cfg = SiteConfig(seed=11, n_hosts=3, base_pages=20, richness=2)
+    pages = [synth_html(cfg, cfg.page_url(h, p))[1]
+             for h in range(3) for p in range(4)]
+    rows = [(i, h) for i, h in enumerate(pages)] + [(98, None), (99, "")]
+    df = spark.createDataFrame(rows, "i int, body string")
+    got = {r.i: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans]
+           for r in df.select("i", parse_spans("body").alias("spans"))
+           .collect()}
+    for i, h in enumerate(pages):
+        assert got[i] == html_to_spans(h)
+    assert got[98] == [] and got[99] == []
