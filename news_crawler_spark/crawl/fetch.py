@@ -70,13 +70,20 @@ class SyntheticFetcher:
 
 class HttpFetcher:
     """Real HTTP fetcher (reference news.py:91: timeout=10; asec.py:59:
-    timeout=15, fixed UA). Network-gated: not exercised in tests."""
+    timeout=15, fixed UA). Exercised in tests against a loopback
+    server (tests/test_http_fetch.py) — no external network needed.
+
+    HTTP status codes are preserved (an HTTPError IS a response): the
+    engine's disposition logic treats 404 as permanently dead but -1
+    (connection/timeout) as retryable, so collapsing a 404 into -1
+    would retry dead pages up to max_attempts."""
 
     def __init__(self, timeout: float = 10.0, user_agent: str = "news-crawler-spark/0.1"):
         self.timeout = timeout
         self.user_agent = user_agent
 
-    def fetch(self, url: str) -> dict:  # pragma: no cover - network
+    def fetch(self, url: str) -> dict:
+        import urllib.error
         import urllib.request
 
         try:
@@ -87,6 +94,9 @@ class HttpFetcher:
 
                 return {"status": resp.status, "fetch_ms": 0, "title": "",
                         "published": None, "spans": html_to_spans(body)}
+        except urllib.error.HTTPError as he:
+            return {"status": he.code, "fetch_ms": 0, "title": None,
+                    "published": None, "spans": None}
         except Exception:
             return {"status": -1, "fetch_ms": 0, "title": None,
                     "published": None, "spans": None}
