@@ -117,3 +117,38 @@ def test_bloom_off_equals_bloom_on(spark, tmp_path):
     la = sorted((r["round"], r.host, r.seq, r.url) for r in a.crawl_log_df().collect())
     lb = sorted((r["round"], r.host, r.seq, r.url) for r in b.crawl_log_df().collect())
     assert la == lb
+
+
+def test_kill_resume_torn_write_matrix(spark, tmp_path):
+    """Chaos matrix for the commit protocol: the three state appends
+    of a round are concurrent, so a kill can leave ANY subset of
+    {resolved, documents, frontier} written without the lineage
+    marker. Every such torn state must roll back on resume and finish
+    bit-identical to the oracle, with zero (url, attempt) replays."""
+    import shutil
+
+    base = str(tmp_path / "base")
+    eng = _mk_engine(spark, base)
+    eng.init(spark.createDataFrame(seed_rows(CFG), "url string, priority double"))
+    eng.run(2)
+    oracle = CrawlOracle(CFG).run(4)
+
+    scenarios = [("resolved",), ("documents",), ("frontier",),
+                 ("resolved", "documents", "frontier")]
+    for i, torn_tables in enumerate(scenarios):
+        state = str(tmp_path / f"s{i}")
+        shutil.copytree(base, state)
+        torn = _mk_engine(spark, state)
+        for name in torn_tables:  # torn appends, no lineage commit
+            t = getattr(torn, name)
+            t.append(t.read().limit(3))
+
+        eng2 = _mk_engine(spark, state)
+        assert eng2.resume() == 2, f"scenario {torn_tables}"
+        eng2.run(2)
+        log = sorted((r["round"], r.host, r.seq, r.url)
+                     for r in eng2.crawl_log_df().collect())
+        assert log == sorted(oracle.crawl_log), f"scenario {torn_tables}"
+        dup = (eng2.resolved.read().groupBy("url_sha", "attempt").count()
+               .filter("count > 1").count())
+        assert dup == 0, f"scenario {torn_tables}"
