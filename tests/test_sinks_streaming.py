@@ -157,3 +157,48 @@ def test_sliding_window_static_equals_streaming(spark, tmp_path):
     finally:
         q.stop()
     assert streamed == static
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Late-data semantics, not just plan sameness: after the
+    watermark (2 h) passes a window's end, a straggler for that
+    window arriving in a later micro-batch is DROPPED — the closed
+    window's append-mode emission never includes it, which is the
+    bounded-state guarantee that lets a 100 TB stream discard old
+    window state."""
+    from news_crawler_spark.streaming.events import EVENTS_SCHEMA
+
+    t0 = datetime.datetime(2025, 3, 1, 10, 0, 0)
+
+    def ev(eid, minutes, etype="view"):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), 1,
+                etype, 1.0, "{}")
+
+    src = str(tmp_path / "stream_src")
+    # batch 1: three events in [10:00, 11:00) + one at 14:00 that
+    # advances the watermark to 12:00 (> 11:00 → window closes)
+    spark.createDataFrame(
+        [ev(1, 5), ev(2, 20), ev(3, 40), ev(4, 240)],
+        EVENTS_SCHEMA).coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = (streaming_event_counts(spark, src, window="1 hour")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("late_drop").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a straggler at 10:30 — 90 min behind the watermark
+        spark.createDataFrame([ev(5, 30)], EVENTS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # batch 3: push the watermark far ahead so every open window
+        # (including 14:00's) flushes its append-mode emission
+        spark.createDataFrame([ev(6, 24 * 60)], EVENTS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {(r.w_start, r.n)
+                for r in spark.sql("SELECT * FROM late_drop").collect()}
+    finally:
+        q.stop()
+    # the 10:00 window emitted exactly once, WITHOUT the straggler
+    assert (t0, 3) in rows
+    assert (t0, 4) not in rows
