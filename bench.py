@@ -390,9 +390,15 @@ def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
                 continue
             # adaptive: the host drifts through noisy regimes; if no
             # clean pair has cleared the target yet, buy more samples
-            # (bounded) rather than report a bad-luck run
+            # (bounded in count AND wall clock — an external runner
+            # may time the whole bench out, and a partial result
+            # beats a killed run) rather than report a bad-luck run
             bv = best_valid(pairs)
-            if (bv is not None and bv >= target) or i >= slices + max_extra:
+            max_wall = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WALL",
+                                            "1500"))
+            if ((bv is not None and bv >= target)
+                    or i >= slices + max_extra
+                    or time.perf_counter() - t_all > max_wall):
                 break
         wall = time.perf_counter() - t_all
         try:
