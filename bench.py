@@ -324,8 +324,15 @@ def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
         return tuple(out)
 
     def spawn_pair():
-        return (spawn(lo_n, f"0-{lo_n - 1}"),
-                spawn(hi_n, f"{lo_n}-{lo_n + hi_n - 1}"))
+        lo = spawn(lo_n, f"0-{lo_n - 1}")
+        try:
+            hi = spawn(hi_n, f"{lo_n}-{lo_n + hi_n - 1}")
+        except Exception:
+            # partial failure must not orphan a pinned JVM: it would
+            # outlive the bench and skew every later host measurement
+            lo.kill()
+            raise
+        return lo, hi
 
     def kill_pair(lo_p, hi_p):
         for p in (lo_p, hi_p):

@@ -95,6 +95,7 @@ class HttpFetcher:
                 return {"status": resp.status, "fetch_ms": 0, "title": "",
                         "published": None, "spans": html_to_spans(body)}
         except urllib.error.HTTPError as he:
+            he.close()  # an HTTPError IS an open response: free the socket
             return {"status": he.code, "fetch_ms": 0, "title": None,
                     "published": None, "spans": None}
         except Exception:

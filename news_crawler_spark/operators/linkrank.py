@@ -52,6 +52,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              .union(e.select(F.col("dst").alias("node"))).distinct())
     outdeg = e.groupBy("src").agg(F.count("*").alias("n_out"))
     n = nodes.count()  # one scalar job; the loop itself is driver-side
+    if n == 0:  # empty graph: empty ranks, not a ZeroDivisionError
+        return nodes.withColumn("rank_micro", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * scale) // (100 * n)
     init = scale // n
     ranks = nodes.withColumn("rank_micro", F.lit(init).cast("long"))

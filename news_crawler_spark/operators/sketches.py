@@ -12,6 +12,11 @@ codegen end to end — with two deliberate design choices:
    see operators/dedup.py), so DuckDB replays the entire sketch via
    ``('0x' || substr(sha256(x), 1, 15))::BIGINT`` and the driver's
    value-hash check covers a *sketch*, not just its API shape.
+   (One caveat: the linear-counting branch uses ``ln``, which JVM and
+   libm each compute to ~1 ulp, not correctly rounded — a divergence
+   requires the estimate to land within an ulp of an x.5 boundary
+   before the final integer round; the register table and all sums
+   are exact regardless.)
 2. **Exact integer register sums.** The harmonic mean Σ 2^-ρ is the
    classic float-nondeterminism trap: double addition is
    order-sensitive and Spark's partition order is not DuckDB's scan
@@ -87,7 +92,10 @@ def hll_estimate(registers: DataFrame,
     correction (E ≤ 2.5m and empty registers exist → m·ln(m/V));
     the HLL++ mid-range bias table is intentionally omitted (raw HLL,
     σ ≈ 1.04/√m — ~1.6% at p=12). The Σ is exact BIGINT arithmetic
-    (module docstring), so the estimate is engine-deterministic.
+    (module docstring), so the raw-branch estimate is a fixed IEEE op
+    sequence on identical integers in every engine; the linear-count
+    branch carries the ~1-ulp ``ln`` caveat noted in the module
+    docstring.
     """
     groups = list(group_cols or [])
     m = 1 << p
@@ -95,8 +103,14 @@ def hll_estimate(registers: DataFrame,
     s_exp = suffix_bits + 1  # scale: term = 2^(s_exp - rho), empty = 2^s_exp
     per_group = registers.groupBy(*groups).agg(
         F.count("*").alias("_nreg"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_exp} - r)"))
-        .alias("_s_obs"),
+        # coalesce: an UNGROUPED estimate over an empty register table
+        # still emits one row (global groupBy), and sum-over-nothing is
+        # NULL — 0 here flows to zeros=m → linear count m·ln(m/m) = 0,
+        # the correct empty-input answer instead of a NULL estimate
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_exp} - r)")),
+            F.lit(0).cast("long"),
+        ).alias("_s_obs"),
     )
     s_total = (F.col("_s_obs")
                + (F.lit(m) - F.col("_nreg")) * F.lit(1 << s_exp))
@@ -230,21 +244,30 @@ def cms_lookup(counters: DataFrame, queries: DataFrame, value_col: str,
     counters each query item hashes to. Never underestimates; the
     overcount is bounded by collisions (≈ e·N/w with prob 1-e^-d).
     The probe is a broadcast-sized equi-join on (i, col) against the
-    ≤ d·w-row counter table — no pass over the original data."""
+    ≤ d·w-row counter table — no pass over the original data.
+
+    ``queries`` rows must be distinct (the result groups by all query
+    columns, so duplicates collapse to one output row); a query
+    column named i/col/cnt is fine — the counter side is renamed to
+    reserved names before the join.
+    """
+    cnt = counters.select(F.col("i").alias("_cms_i"),
+                          F.col("col").alias("_cms_col"),
+                          F.col("cnt").alias("_cms_cnt"))
     probes = (
         queries
-        .withColumn("_qi", F.explode(F.expr(f"sequence(0, {d - 1})")))
-        .withColumn("_qcol",
+        .withColumn("_cms_qi", F.explode(F.expr(f"sequence(0, {d - 1})")))
+        .withColumn("_cms_qcol",
                     _cms_col(F.col(value_col).cast("string"),
-                             F.col("_qi"), w))
+                             F.col("_cms_qi"), w))
     )
     joined = probes.join(
-        counters,
-        (probes["_qi"] == counters["i"]) & (probes["_qcol"] == counters["col"]),
+        cnt,
+        (probes["_cms_qi"] == cnt["_cms_i"])
+        & (probes["_cms_qcol"] == cnt["_cms_col"]),
         "left")
-    others = [c for c in queries.columns]
     return (
         joined
-        .groupBy(*others)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+        .groupBy(*queries.columns)
+        .agg(F.min(F.coalesce(F.col("_cms_cnt"), F.lit(0))).alias(out_col))
     )

@@ -79,6 +79,20 @@ def global_row_number(df: DataFrame, key_col: str, out_col: str = "rn",
     )
 
 
+def row_salt(salt_src: str, n_salts: int):
+    """Deterministic row-level salt in [0, n_salts): sha2-derived so
+    any SQL oracle replays it; the single definition both salted_agg
+    and salted_join use. NULL salt_src values land in salt 0 — a NULL
+    salt would silently unmatch join rows and split agg groups."""
+    from pyspark.sql import functions as F
+
+    h = F.pmod(
+        F.conv(F.substring(F.sha2(F.col(salt_src).cast("string"), 256),
+                           1, 8), 16, 10).cast("long"),
+        F.lit(n_salts))
+    return F.coalesce(h, F.lit(0).cast("long"))
+
+
 def salted_agg(df, keys: list[str], value_col: str, salt_src: str,
                n_salts: int = 16):
     """Two-phase salted aggregation for skewed group keys.
@@ -103,10 +117,7 @@ def salted_agg(df, keys: list[str], value_col: str, salt_src: str,
             "salt_src must be a row-level column, not a group key: a "
             "key-derived salt is constant within the hot group and the "
             "fan-out becomes a no-op")
-    src = F.col(salt_src)
-    salt = F.pmod(
-        F.conv(F.substring(F.sha2(src.cast("string"), 256), 1, 8), 16, 10)
-        .cast("long"), F.lit(n_salts))
+    salt = row_salt(salt_src, n_salts)
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
@@ -133,9 +144,11 @@ def salted_join(big, small, key: str, salt_src: str, n_salts: int = 8,
     join's (the oracle runs the plain SQL join).
 
     ``salt_src`` must be a row-level big-side column (row id, url
-    hash); sha2-derived so replays are deterministic. ``how``:
-    'inner' or 'left' (semantics preserved for both — a big row
-    either matches its one replica or null-extends).
+    hash); sha2-derived so replays are deterministic, and NULL
+    salt_src values salt to 0 (see :func:`row_salt`) so such rows
+    still join — a NULL salt never equi-matches and would silently
+    drop them. ``how``: 'inner' or 'left' (semantics preserved for
+    both — a big row either matches its one replica or null-extends).
     """
     from pyspark.sql import functions as F
 
@@ -143,11 +156,7 @@ def salted_join(big, small, key: str, salt_src: str, n_salts: int = 8,
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salt_src == key:
         raise ValueError("salt_src must be row-level, not the join key")
-    salt = F.pmod(
-        F.conv(F.substring(F.sha2(F.col(salt_src).cast("string"), 256),
-                           1, 8), 16, 10).cast("long"),
-        F.lit(n_salts))
-    big_s = big.withColumn("_salt", salt)
+    big_s = big.withColumn("_salt", row_salt(salt_src, n_salts))
     # sequence over BIGINT bounds so the exploded salt matches the
     # big side's long salt without casting the generator (casting a
     # generator expression is an analysis error)

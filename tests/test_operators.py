@@ -640,3 +640,37 @@ def test_parse_spans_udf_matches_python_parser(spark):
     for i, h in enumerate(pages):
         assert got[i] == html_to_spans(h)
     assert got[98] == [] and got[99] == []
+
+
+def test_review_edge_cases_salt_null_empty_inputs(spark):
+    """Review-found edges: NULL salt_src rows must still join (a NULL
+    salt never equi-matches), pagerank on an empty graph returns
+    empty instead of dividing by zero, ungrouped HLL on empty input
+    estimates 0 (not NULL), and cms_lookup tolerates query columns
+    named i/col/cnt."""
+    from news_crawler_spark.operators.linkrank import pagerank
+    from news_crawler_spark.operators.sketches import (
+        cms_counters, cms_lookup, hll_count_distinct)
+    from news_crawler_spark.operators.topk import salted_join
+
+    big = spark.createDataFrame(
+        [(1, None, "x"), (1, 10, "y"), (2, 20, "z")],
+        "k long, rid int, payload string")
+    small = spark.createDataFrame([(1, "dim1"), (2, "dim2")],
+                                  "k long, name string")
+    j = salted_join(big, small, "k", salt_src="rid", n_salts=4)
+    assert j.count() == 3  # the NULL-rid row still joined
+
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty_edges, iterations=2).count() == 0
+
+    empty = spark.createDataFrame([], "v string")
+    assert hll_count_distinct(empty, "v", p=8).collect()[0].ndv_hll == 0
+
+    q = spark.createDataFrame([("alpha", 1, 2, 3)],
+                              "v string, i int, col int, cnt int")
+    data = spark.createDataFrame([("alpha",), ("alpha",), ("beta",)],
+                                 "v string")
+    got = cms_lookup(cms_counters(data, "v", d=2, w=16), q, "v",
+                     d=2, w=16).collect()
+    assert len(got) == 1 and got[0].cms_est >= 2
