@@ -560,6 +560,45 @@ def q_salted_join_revenue(spark, sf_dir):
         .alias("cents"))
 
 
+def q_bigram_collocations(spark, sf_dir):
+    """Collocation (phrase) mining: top-30 bigrams by association
+    lift — the phrase-vocabulary pass of a tokenizer pipeline. The
+    score is scaled-integer lift ``(n_xy·n_total·1000) div (n_x·n_y)``
+    — ln-free but order-equivalent to PMI (log is monotone), so the
+    ranking is exact integer arithmetic both engines replay
+    bit-for-bit (magnitudes bounded: needs n_total² · 10³ < 2⁶³,
+    i.e. corpora under ~3e9 tokens; shard the count tables past
+    that). Bigrams come from the posexplode+lead trick (one Generate,
+    no HOF re-evaluation — the dedup-shingle lesson); counts are
+    map-side-combinable groupBys; the final top-30 is
+    orderBy+limit."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = (docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("pos", "w"))
+        .filter(F.length("w") >= 2))
+    w_next = Window.partitionBy("doc_id").orderBy("pos")
+    big = (tok.withColumn("w2", F.lead("w").over(w_next))
+           .where(F.col("w2").isNotNull()))
+    n_total = tok.groupBy().agg(F.count("*").alias("n_total"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("n_w"))
+    pair = (big.groupBy("w", "w2").agg(F.count("*").alias("n_xy"))
+            .where(F.col("n_xy") >= 5))
+    scored = (
+        pair.join(uni.select(F.col("w"), F.col("n_w").alias("n_x")), "w")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("n_w").alias("n_y")), "w2")
+        .crossJoin(n_total)
+        .select("w", "w2", "n_xy", "n_x", "n_y",
+                F.expr("(n_xy * n_total * 1000) div (n_x * n_y)")
+                .alias("lift_milli"))
+    )
+    return scored.orderBy(F.col("lift_milli").desc(), "w", "w2").limit(30)
+
+
 def q_histogram_quantiles(spark, sf_dir):
     """Mergeable fixed-bin histogram → quantile estimates (p50/p90/
     p99 of event value per type), the third sketch family: quantile
@@ -1328,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv": q_hll_ndv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "salted_join_revenue": q_salted_join_revenue,
+        "bigram_collocations": q_bigram_collocations,
         "histogram_quantiles": q_histogram_quantiles,
         "pagerank_authority": q_pagerank_authority,
         "unpivot_metrics": q_unpivot_metrics,
@@ -1707,6 +1747,36 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cents
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "bigram_collocations": """
+            WITH tok AS (
+              SELECT doc_id, pos, w FROM (
+                SELECT doc_id,
+                       generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(trim(text)), '\\s+')
+                               AS ws
+                      FROM documents))
+              WHERE len(w) >= 2),
+            big AS (
+              SELECT w, lead(w) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS w2
+              FROM tok),
+            tot AS (SELECT count(*) AS n_total FROM tok),
+            uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+                    FROM tok GROUP BY w),
+            pair AS (
+              SELECT w, w2, CAST(count(*) AS BIGINT) AS n_xy
+              FROM big WHERE w2 IS NOT NULL
+              GROUP BY w, w2 HAVING count(*) >= 5)
+            SELECT p.w, p.w2, p.n_xy,
+                   ux.n_w AS n_x, uy.n_w AS n_y,
+                   (p.n_xy * (SELECT n_total FROM tot) * 1000)
+                     // (ux.n_w * uy.n_w) AS lift_milli
+            FROM pair p
+            JOIN uni ux ON p.w = ux.w
+            JOIN uni uy ON p.w2 = uy.w
+            ORDER BY lift_milli DESC, p.w, p.w2 LIMIT 30
         """,
         "histogram_quantiles": """
             WITH h AS (

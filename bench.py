@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dup_clusters",
     "ivf_ann",
     "vocab_topk",
+    "bigram_collocations",
     "hll_ndv",
     "cms_heavy_hitters",
     "sliding_window_agg",
