@@ -560,6 +560,20 @@ def q_salted_join_revenue(spark, sf_dir):
         .alias("cents"))
 
 
+def q_event_correlation(spark, sf_dir):
+    """Funnel correlation (streaming/events.py correlate_events):
+    view → purchase by the same user within 60 min, the batch twin of
+    the watermarked stream-stream interval join (the time band is
+    what bounds join state on an unbounded stream). gap is an exact
+    microsecond integer, so the interval join is value-hash-checkable."""
+    from news_crawler_spark.streaming import correlate_events
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    return correlate_events(views, buys, gap_minutes=60)
+
+
 def q_bigram_collocations(spark, sf_dir):
     """Collocation (phrase) mining: top-30 bigrams by association
     lift — the phrase-vocabulary pass of a tokenizer pipeline. The
@@ -1367,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv": q_hll_ndv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "salted_join_revenue": q_salted_join_revenue,
+        "event_correlation": q_event_correlation,
         "bigram_collocations": q_bigram_collocations,
         "histogram_quantiles": q_histogram_quantiles,
         "pagerank_authority": q_pagerank_authority,
@@ -1747,6 +1762,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cents
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "event_correlation": """
+            SELECT v.user_id,
+                   v.event_id AS v_id,
+                   a.event_id AS a_id,
+                   epoch_us(a.ts) - epoch_us(v.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') a
+              ON v.user_id = a.user_id
+             AND a.ts > v.ts
+             AND a.ts <= v.ts + INTERVAL 60 MINUTE
         """,
         "bigram_collocations": """
             WITH tok AS (

@@ -111,3 +111,41 @@ def sessionize_stream(spark: SparkSession, parquet_dir: str,
         .select("user_id", F.col("sw.start").alias("s_start"),
                 F.col("sw.end").alias("s_end"), "n_events", "total")
     )
+
+
+def correlate_events(views: DataFrame, actions: DataFrame,
+                     gap_minutes: int = 60,
+                     watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: for each view-type event, the
+    same-user action events that follow within ``gap_minutes`` —
+    funnel correlation (view → purchase) as one equi-join with an
+    event-time band.
+
+    The SAME function serves batch and streaming (the point of
+    Structured Streaming): on streams both sides get watermarks, and
+    the time-band condition is what lets Spark expire join state —
+    an unbounded stream-stream join without a time bound would hold
+    every row forever. Output columns are engine-exact (microsecond
+    integer gap), so the batch twin is SQL-oracle-checkable.
+    """
+    v = views.select(F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("v_ts"),
+                     F.col("event_id").alias("v_id"))
+    a = actions.select(F.col("user_id").alias("a_user"),
+                       F.col("ts").alias("a_ts"),
+                       F.col("event_id").alias("a_id"))
+    if views.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    if actions.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+    cond = (
+        (v["v_user"] == a["a_user"])
+        & (a["a_ts"] > v["v_ts"])
+        & (a["a_ts"] <= F.expr(f"v_ts + interval {gap_minutes} minutes"))
+    )
+    return (
+        v.join(a, cond)
+        .select(F.col("v_user").alias("user_id"), "v_id", "a_id",
+                F.expr("timestampdiff(MICROSECOND, v_ts, a_ts)")
+                .alias("gap_us"))
+    )

@@ -202,3 +202,40 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     # the 10:00 window emitted exactly once, WITHOUT the straggler
     assert (t0, 3) in rows
     assert (t0, 4) not in rows
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """correlate_events as a real stream-stream interval join (both
+    sides watermarked readStreams) produces exactly the batch twin's
+    pairs — the §2.12 join shape whose time band bounds join state."""
+    from news_crawler_spark.streaming import correlate_events
+    from news_crawler_spark.streaming.events import EVENTS_SCHEMA
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    views_b = events.filter(F.col("event_type") == "view")
+    buys_b = events.filter(F.col("event_type") == "purchase")
+    batch = {(r.user_id, r.v_id, r.a_id, r.gap_us)
+             for r in correlate_events(views_b, buys_b,
+                                       gap_minutes=60).collect()}
+    assert batch  # non-degenerate fixture
+
+    src = str(tmp_path / "corr_src")
+    events.write.parquet(src)
+
+    def stream():
+        return (spark.readStream.schema(EVENTS_SCHEMA)
+                .format("parquet").load(src))
+
+    out = correlate_events(
+        stream().filter(F.col("event_type") == "view"),
+        stream().filter(F.col("event_type") == "purchase"),
+        gap_minutes=60)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("corr").start())
+    try:
+        q.processAllAvailable()
+        streamed = {(r.user_id, r.v_id, r.a_id, r.gap_us)
+                    for r in spark.sql("SELECT * FROM corr").collect()}
+    finally:
+        q.stop()
+    assert streamed == batch
