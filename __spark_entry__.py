@@ -224,6 +224,51 @@ def q_x1b_ioc_canonical(spark, sf_dir):
     return extract_iocs_canonical_long(docs).select("doc_id", "kind", "value")
 
 
+def q_ioc_pattern_diff(spark, sf_dir):
+    """First-class contract demo of the reference's DELIBERATE pattern
+    drift between its two IOC extractors (asec.py:44-53 loose set vs
+    parsers/ioc.py:34-53 canonical set): run BOTH over the same
+    corpus text and return the symmetric difference per kind.
+
+    Text = real documents.text plus planted drift cases derived from
+    doc_id/lang: a defanged IP (loose-only after defang-reversal), a
+    999.x octet (loose-only — canonical's strict octets reject it), a
+    defanged hxxps URL (loose-only), and an UPPERCASE-scheme URL
+    (canonical-only — its (?i) flag vs the loose set's literal 'h').
+    Values both sets agree on (e.g. a plain ip or a lowercase ip:port's
+    host) cancel out of the diff.
+
+    Scale shape: two regexp_extract_all scans (codegen, one pass each)
+    + set-difference shuffles on (doc_id, kind, value) — no joins wider
+    than the extracted-IOC table itself."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" ping 172[.]16[.]"),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit("[.]9 bad 999.88."),
+        F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+        F.lit(".1 up HTTPS://Cdn-"),
+        F.col("lang"),
+        F.lit(".example:8443/a?q=2 mixed hxxps[:]//c2-"),
+        F.col("lang"),
+        F.lit(".example/x shared 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(199)).cast("string"),
+        F.lit(".7 tail"),
+    )
+    d = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    planted.alias("text"))
+    from news_crawler_spark.functions import extract_iocs_canonical_long
+
+    loose = extract_iocs_long(d)
+    canon = extract_iocs_canonical_long(d)
+    return (
+        loose.subtract(canon).withColumn("only_in", F.lit("loose"))
+        .unionByName(
+            canon.subtract(loose).withColumn("only_in", F.lit("canonical")))
+    )
+
+
 def q_x2_word_extract_explode(spark, sf_dir):
     """X2: findall + explode + distinct over real text."""
     return (
@@ -706,14 +751,18 @@ def q_unpivot_metrics(spark, sf_dir):
 
 
 def q_map_ops(spark, sf_dir):
-    """Map-typed column family: create_map / map_keys / element_at /
-    size — all native."""
+    """Map-typed column family: create_map / map_keys / map_values /
+    element_at / size — all native. Keys/values are projected through
+    array_join so every result column is a sortable SCALAR: the
+    driver's pandas canonicalizer cannot sort/hash list-typed cells
+    (r02 red row — TypeError: unhashable type 'list')."""
     p = _t(spark, sf_dir, "part")
     m = F.create_map(F.lit("brand"), F.col("p_brand"),
                      F.lit("type"), F.col("p_type"))
     return p.select(
         "p_partkey",
-        F.map_keys(m).alias("ks"),
+        F.array_join(F.map_keys(m), ",").alias("ks"),
+        F.array_join(F.map_values(m), ",").alias("vs"),
         F.element_at(m, F.lit("brand")).alias("brand"),
         F.size(m).alias("n"),
     )
@@ -1344,7 +1393,67 @@ def _embedding_near_dup_oracle(dim: int = 64, n_planes: int = 6,
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order IS the driver's evidence window: the CORRECTNESS
+    gate evaluates the first 50 entries (r02 checked exactly positions
+    1-50). Order: (1) the 12 entries with no green driver row in any
+    round, (2) the 14 green in r01 but outside r02's window, (3) queries
+    new this round, (4) re-attested r02-green core. Everything past 50
+    already carries a green CORRECTNESS_r02 row."""
     return {
+        # -- (1) never driver-green (fixed after r01 / past the window) --
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "dup_clusters": q_dup_clusters,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "range_join": q_range_join,
+        "ivf_ann": q_ivf_ann,
+        "sessionize": q_sessionize,
+        "sliding_window_agg": q_sliding_window_agg,
+        "session_window_agg": q_session_window_agg,
+        "s2_rss_parse": q_s2_rss_parse,
+        "map_ops": q_map_ops,
+        # -- (2) r01-green, slid past r02's 50-entry window --
+        "p2_advisory_parse": q_p2_advisory_parse,
+        "join3_revenue": q_join3_revenue,
+        "asof_join": q_asof_join,
+        "pivot": q_pivot,
+        "cube": q_cube,
+        "percentiles": q_percentiles,
+        "korean_date_parse": q_korean_date_parse,
+        "sid_assignment": q_sid_assignment,
+        "digest_plan": q_digest_plan,
+        "window_funcs": q_window_funcs,
+        "array_ops": q_array_ops,
+        "string_funcs": q_string_funcs,
+        "grouping_sets": q_grouping_sets,
+        "doc_pipeline": q_doc_pipeline,
+        # -- (3) new this round --
+        "ioc_pattern_diff": q_ioc_pattern_diff,
+        # -- (4) r02-green core, re-attested --
+        "training_pipeline": q_training_pipeline,
+        "jaccard_token_pairs": q_jaccard_token_pairs,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "hll_ndv": q_hll_ndv,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "histogram_quantiles": q_histogram_quantiles,
+        "pagerank_authority": q_pagerank_authority,
+        "event_correlation": q_event_correlation,
+        "bigram_collocations": q_bigram_collocations,
+        "salted_agg": q_salted_agg,
+        "salted_join_revenue": q_salted_join_revenue,
+        "table_digest": q_table_digest,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "sample_stratified": q_sample_stratified,
+        "sample_k_per_group": q_sample_k_per_group,
+        "vocab_topk": q_vocab_topk,
+        "lang_id": q_lang_id,
+        "binary_meta": q_binary_meta,
+        "token_modes": q_token_modes,
+        "text_stats": q_text_stats,
+        "unpivot_metrics": q_unpivot_metrics,
+        # ---- driver gate window ends at position 50 ----
         "f1_date_range_filter": q_f1_date_range_filter,
         "f3_keyword_filter": q_f3_keyword_filter,
         "f4_exclusion_filter": q_f4_exclusion_filter,
@@ -1372,54 +1481,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_running_sum": q_w_running_sum,
         "dt_trunc_month": q_dt_trunc_month,
         "json_extract": q_json_extract,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "fingerprint": q_fingerprint,
-        "training_pipeline": q_training_pipeline,
-        "salted_agg": q_salted_agg,
-        "table_digest": q_table_digest,
-        "hll_ndv": q_hll_ndv,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "salted_join_revenue": q_salted_join_revenue,
-        "event_correlation": q_event_correlation,
-        "bigram_collocations": q_bigram_collocations,
-        "histogram_quantiles": q_histogram_quantiles,
-        "pagerank_authority": q_pagerank_authority,
-        "unpivot_metrics": q_unpivot_metrics,
-        "map_ops": q_map_ops,
-        "token_modes": q_token_modes,
-        "sample_stratified": q_sample_stratified,
-        "sample_k_per_group": q_sample_k_per_group,
-        "vocab_topk": q_vocab_topk,
-        "lang_id": q_lang_id,
-        "binary_meta": q_binary_meta,
-        "jaccard_token_pairs": q_jaccard_token_pairs,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "ivf_ann": q_ivf_ann,
-        "p2_advisory_parse": q_p2_advisory_parse,
-        "s2_rss_parse": q_s2_rss_parse,
-        "join3_revenue": q_join3_revenue,
-        "sessionize": q_sessionize,
-        "sliding_window_agg": q_sliding_window_agg,
-        "session_window_agg": q_session_window_agg,
-        "asof_join": q_asof_join,
-        "pivot": q_pivot,
-        "cube": q_cube,
-        "percentiles": q_percentiles,
-        "korean_date_parse": q_korean_date_parse,
-        "sid_assignment": q_sid_assignment,
-        "digest_plan": q_digest_plan,
-        "window_funcs": q_window_funcs,
-        "array_ops": q_array_ops,
-        "string_funcs": q_string_funcs,
-        "grouping_sets": q_grouping_sets,
-        "doc_pipeline": q_doc_pipeline,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "range_join": q_range_join,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "dup_clusters": q_dup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -1530,6 +1591,58 @@ def oracle_sql() -> dict[str, str]:
                        '\\b[a-fA-F0-9]{64}\\b|\\b[a-fA-F0-9]{40}\\b|\\b[a-fA-F0-9]{32}\\b')) AS value
               FROM t)
             SELECT DISTINCT doc_id, kind, value FROM extracted
+        """,
+        "ioc_pattern_diff": """
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     text || ' ping 172[.]16[.]' || (doc_id % 256) ||
+                     '[.]9 bad 999.88.' || (doc_id % 100) ||
+                     '.1 up HTTPS://Cdn-' || lang ||
+                     '.example:8443/a?q=2 mixed hxxps[:]//c2-' || lang ||
+                     '.example/x shared 10.0.' || (doc_id % 199) || '.7 tail'
+                     AS text
+              FROM documents),
+            loose_raw AS (
+              SELECT doc_id, 'ip' AS kind,
+                     unnest(regexp_extract_all(text, '\\b(?:\\d{1,3}(?:\\.|\\[\\.\\])){3}\\d{1,3}\\b')) AS raw
+              FROM t
+              UNION ALL
+              SELECT doc_id, 'hash' AS kind,
+                     unnest(regexp_extract_all(text, '\\b[a-fA-F0-9]{64}\\b|\\b[a-fA-F0-9]{40}\\b|\\b[a-fA-F0-9]{32}\\b')) AS raw
+              FROM t
+              UNION ALL
+              SELECT doc_id, 'url' AS kind,
+                     unnest(regexp_extract_all(text, '\\bh(?:xx|tt)ps?(?::|\\[:\\])//[^\\s"''<>]+')) AS raw
+              FROM t),
+            loose AS (
+              SELECT DISTINCT doc_id, kind,
+                     regexp_replace(regexp_replace(regexp_replace(raw,
+                         '\\[\\.\\]', '.', 'g'), '\\[:\\]', ':', 'g'),
+                         '\\bhxxp', 'http', 'g') AS value
+              FROM loose_raw),
+            canon AS (
+              SELECT DISTINCT doc_id, kind, value FROM (
+                SELECT doc_id, 'ip' AS kind,
+                       unnest(regexp_extract_all(text,
+                         '\\b(?:(?:25[0-5]|2[0-4]\\d|1?\\d{1,2})\\.){3}(?:25[0-5]|2[0-4]\\d|1?\\d{1,2})\\b')) AS value
+                FROM t
+                UNION ALL
+                SELECT doc_id, 'url' AS kind,
+                       unnest(regexp_extract_all(text,
+                         '(?i)https?://[A-Za-z0-9\\-_\\.]+(?::[0-9]{1,5})?(?:/[^\\s''"<>]*)?')) AS value
+                FROM t
+                UNION ALL
+                SELECT doc_id, 'hash' AS kind,
+                       unnest(regexp_extract_all(text,
+                         '\\b[a-fA-F0-9]{64}\\b|\\b[a-fA-F0-9]{40}\\b|\\b[a-fA-F0-9]{32}\\b')) AS value
+                FROM t))
+            SELECT doc_id, kind, value, 'loose' AS only_in FROM
+              (SELECT doc_id, kind, value FROM loose
+               EXCEPT SELECT doc_id, kind, value FROM canon)
+            UNION ALL
+            SELECT doc_id, kind, value, 'canonical' AS only_in FROM
+              (SELECT doc_id, kind, value FROM canon
+               EXCEPT SELECT doc_id, kind, value FROM loose)
         """,
         "x2_word_extract_explode": """
             SELECT DISTINCT doc_id,
@@ -1837,7 +1950,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "map_ops": """
             SELECT p_partkey,
-                   map_keys(MAP {'brand': p_brand, 'type': p_type}) AS ks,
+                   array_to_string(map_keys(MAP {'brand': p_brand, 'type': p_type}), ',') AS ks,
+                   array_to_string(map_values(MAP {'brand': p_brand, 'type': p_type}), ',') AS vs,
                    map_extract(MAP {'brand': p_brand, 'type': p_type},
                                'brand')[1] AS brand,
                    cardinality(MAP {'brand': p_brand, 'type': p_type}) AS n

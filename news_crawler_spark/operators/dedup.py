@@ -197,9 +197,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         )
     )
     # self-join branches don't share work in Spark (no common-subplan
-    # reuse across join sides) — persist the band table so signatures
-    # compute once, not once per side (measured 4 scans without this)
-    band = band.persist()
+    # reuse across join sides) — materialize the band table so
+    # signatures compute once, not once per side (measured 4 scans
+    # without this). localCheckpoint, NOT persist: persist pinned one
+    # cache entry per call for the life of the session (a long-running
+    # driver accumulates them until eviction pressure); checkpoint
+    # blocks are released by the ContextCleaner once the result is
+    # GC'd (same rationale as topk.global_row_number).
+    band = band.localCheckpoint(eager=True)
     a = band.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = band.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     return (
@@ -219,8 +224,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Quadratic within a shingle bucket — use after LSH candidate
     generation at scale, or on bounded subsets.
     """
-    sh = _shingle_rows(df, text_col, id_col, shingle_n).persist()
-    # used by sizes + both join sides
+    # used by sizes + both join sides; localCheckpoint over persist —
+    # released on GC, no per-call pinned-cache accumulation
+    sh = _shingle_rows(df, text_col, id_col, shingle_n).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -314,9 +320,11 @@ def simhash_buckets(df: DataFrame, text_col: str = "text",
                     hash_fn: str = "sha2") -> DataFrame:
     """SimHash near-dup candidates: docs sharing any 16-bit band of
     their 64-bit simhash (Hamming-distance blocking)."""
-    # persist: the banded signature must not recompute per join side
+    # the banded signature must not recompute per join side;
+    # localCheckpoint over persist — released on GC, no per-call
+    # pinned-cache accumulation across a long-lived session
     banded = simhash_band_values(df, text_col, id_col, band_bits,
-                                 hash_fn=hash_fn).persist()
+                                 hash_fn=hash_fn).localCheckpoint(eager=True)
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
     return (

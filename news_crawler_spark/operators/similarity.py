@@ -113,24 +113,62 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding", out_col: str = "cell",
                nprobe: int = 1) -> DataFrame:
-    """Assign each vector to its ``nprobe`` nearest centroid cells.
+    """Assign each vector to its ``nprobe`` nearest centroid cells —
+    with ZERO joins and ZERO shuffles of the big side.
 
-    Centroids are a tiny DataFrame (cell:int, cvec:array) — broadcast;
-    the assignment is one broadcast join + window argmax, never a
-    shuffle of the big side. The argmax orders by the ROUNDED
-    similarity with a cell-id tiebreak, so an engine-specific last-ulp
-    difference in the dot product can't flip an assignment (oracle
-    replayability)."""
-    scored = (
-        df.join(F.broadcast(centroids), how="cross")
-        .withColumn("_csim", F.round(cosine_col(vec_col, "cvec"), 6))
+    Centroids are tiny by contract (n_centroids rows), so they come to
+    the driver once and become column LITERALS: per row, all centroid
+    similarities are elements of one array expression, the top-nprobe
+    cells fall out of ``array_sort`` + ``slice``, and the only plan
+    nodes over the corpus are Project/Generate — no Exchange at all
+    (the r02 form cross-joined corpus x centroids and took the argmax
+    with a row_number window partitioned by vec_id: a 16x row blowup
+    plus a full corpus shuffle + sort, the dominant cost of IVF at
+    100 TB of embeddings; plan-asserted gone in tests/test_plans.py).
+
+    Determinism contract unchanged: ranking orders by the ROUNDED
+    similarity (6 dp) with a cell-id tiebreak, so an engine-specific
+    last-ulp difference can't flip an assignment and the DuckDB oracle
+    replays it value-exactly. The row's own norm is computed once and
+    staged behind a Generate barrier (explode of a 1-element array) —
+    without it CollapseProject re-inlines the O(dim) fold into every
+    centroid element (the HOF-recompute trap)."""
+    import math
+
+    cent = sorted(
+        ((int(r[out_col]), [float(x) for x in r["cvec"]])
+         for r in centroids.collect()),
+        key=lambda t: t[0],
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(),
-                                           F.col(out_col).asc())
+    vec = F.col(vec_col)
+
+    def dot_lit(cvec: list[float]) -> F.Column:
+        sarr = F.array(*[F.lit(x) for x in cvec])
+        return F.aggregate(
+            F.zip_with(vec, sarr, lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    vnorm = F.sqrt(F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    staged = df.select("*", F.explode(F.array(vnorm)).alias("_vnorm"))
+
+    elems = []
+    for cell, cvec in cent:
+        cnorm = 0.0
+        for x in cvec:  # same left-fold order as the engine-side dot
+            cnorm += x * x
+        cnorm = math.sqrt(cnorm)
+        sim = F.round(dot_lit(cvec) / (F.col("_vnorm") * F.lit(cnorm)), 6)
+        # struct natural ordering: ascending (-sim, cell) == the
+        # (sim DESC, cell ASC) argmax order
+        elems.append(F.struct((-sim).alias("_negsim"),
+                              F.lit(cell).alias("_cell")))
+    picked = F.slice(F.array_sort(F.array(*elems)), 1, nprobe)
     return (
-        scored.withColumn("_crn", F.row_number().over(w))
-        .filter(F.col("_crn") <= nprobe)
-        .drop("cvec", "_csim", "_crn")
+        staged.select("*", F.explode(picked).alias("_pick"))
+        .withColumn(out_col, F.col("_pick._cell"))
+        .drop("_pick", "_vnorm")
     )
 
 

@@ -27,7 +27,18 @@ def duck():
 
 
 def _canon(v):
-    """Canonical scalar: floats to 9 sig digits, dates/timestamps to ISO."""
+    """Canonical scalar: floats to 9 sig digits, dates/timestamps to ISO.
+
+    REJECTS non-scalar cells (list/dict/set/bytes-array): the driver's
+    pandas canonicalizer cannot sort/hash them (map_ops went red in
+    CORRECTNESS_r02 with ``TypeError: unhashable type 'list'`` while
+    this test passed because it stringified first). Failing loudly here
+    keeps the class of un-gateable result schemas out of queries()."""
+    if isinstance(v, (list, tuple, dict, set)):
+        raise AssertionError(
+            f"non-scalar result cell {type(v).__name__}: the driver "
+            "correctness gate cannot canonicalize it — project to a "
+            "scalar (e.g. array_join / concat_ws) in the query")
     if v is None:
         return "NULL"
     if isinstance(v, float):

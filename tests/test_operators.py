@@ -143,6 +143,26 @@ def test_simhash_buckets_planted_pair(spark):
     assert (1, 3) not in pairs
 
 
+def test_dedup_family_releases_storage(spark):
+    """The near-dup operators materialize an intermediate (band /
+    shingle / banded-signature) table so self-join sides don't
+    recompute it — but must NOT pin it for the life of the session.
+    df.persist() registers in the SQL CacheManager, which holds a
+    strong reference until an explicit unpersist — one leaked cache
+    entry per call in a long-running driver (the r02 form). The
+    localCheckpoint form keeps the CacheManager empty (its blocks are
+    ContextCleaner-managed, released on GC)."""
+    df = _near_dup_df(spark)
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), "precondition: cache must start empty"
+    for _ in range(3):
+        minhash_lsh_candidates(df).count()
+        ngram_jaccard_pairs(df, threshold=0.5).count()
+        simhash_buckets(df).count()
+        assert cache_mgr.isEmpty(), (
+            "near-dup operator left a pinned entry in the CacheManager")
+
+
 # ------------------------------------------------------------------ ioc sets
 def test_canonical_vs_asec_ioc_sets(spark):
     """The reference keeps TWO pattern sets that deliberately differ
