@@ -23,9 +23,18 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="news_crawler_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    from news_crawler_spark.config import Settings
+    from news_crawler_spark.config import Settings, SettingsError
 
-    settings = Settings.from_env()
+    # a malformed NCS_* env var must surface as a clean CLI error for
+    # the subcommands that consume settings — and must not crash ones
+    # that don't (bench): fall back to defaults here, re-raise through
+    # parser.error() only if a settings-consuming subcommand was asked
+    settings_err: SettingsError | None = None
+    try:
+        settings = Settings.from_env()
+    except SettingsError as e:
+        settings_err = e
+        settings = Settings()
 
     c = sub.add_parser("crawl", help="run crawl rounds against the synthetic web")
     c.add_argument("--state-dir", default=settings.state_dir or None,
@@ -50,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("bench", help="alias for the repo-root bench harness")
 
     args = p.parse_args(argv)
+    if args.cmd == "crawl" and settings_err is not None:
+        p.error(f"invalid environment settings: {settings_err}")
     if args.cmd == "crawl" and not args.state_dir:
         p.error("--state-dir is required (or set NCS_STATE_DIR)")
     if args.cmd == "crawl":

@@ -71,7 +71,8 @@ class CrawlEngine:
                  fetcher: Fetcher, seed: int = 42, max_attempts: int = 3,
                  n_salts: int = 8, use_bloom: bool = True,
                  bloom_shards: int = 16, bloom_min_resolved: int = 2_000_000,
-                 retry_jitter_span: int = 0):
+                 retry_jitter_span: int = 0, compact_ratio: float = 4.0,
+                 compact_min_resolved: int = 100_000):
         self.spark = spark
         self.hosts = hosts
         self.fetcher = fetcher
@@ -86,6 +87,17 @@ class CrawlEngine:
         # still maintained so the switch-over is seamless at scale
         self.bloom_min_resolved = bloom_min_resolved
         self._resolved_n = 0
+        # auto-compaction (frontier is append-only; resolved slots
+        # accumulate and every selection anti-join rescans them):
+        # compact when the resolved rows sitting in the frontier exceed
+        # compact_ratio x pending AND the compact_min_resolved floor —
+        # the floor keeps short crawls from churning snapshots for
+        # scans that were already cheap. compact_ratio=0 disables.
+        self.compact_ratio = compact_ratio
+        self.compact_min_resolved = compact_min_resolved
+        self.compactions = 0
+        self._frontier_rows = 0          # rows in the frontier table
+        self._resolved_in_frontier = 0   # ... of which already resolved
         st = lambda name, schema: SnapshotTable(spark, state_dir, name, schema)
         self.frontier = st("frontier", schemas.FRONTIER)
         self.resolved = st("resolved", schemas.RESOLVED)
@@ -133,6 +145,7 @@ class CrawlEngine:
             F.lit(0).alias("not_before"),
         )
         self.frontier.append(rows)
+        self._frontier_rows = self.frontier.read().count()
         self._commit_lineage(-1, 0, 0, 0, 0, "")
         self.next_round = 0
 
@@ -161,6 +174,15 @@ class CrawlEngine:
         self.resolved.rollback(last.resolved_snapshot)
         self.documents.rollback(last.documents_snapshot)
         self._rebuild_seen_digest()
+        # exact compaction counters (one count + one semi-join job,
+        # resume-only — never per-round)
+        self._frontier_rows = self.frontier.read().count()
+        self._resolved_in_frontier = (
+            self.frontier.read()
+            .join(self.resolved.read().select("url_sha", "attempt"),
+                  ["url_sha", "attempt"], "left_semi")
+            .count()
+        )
         if self.bloom is not None:
             self._rebuild_bloom()
             committed = last.bloom_digest.split(":")[-1] if last.bloom_digest else ""
@@ -239,6 +261,7 @@ class CrawlEngine:
     def run_round(self, round_no: int | None = None) -> dict:
         r = self.next_round if round_no is None else round_no
         t0 = time.perf_counter()
+        self._maybe_compact()
         selected = frontier_ops.select_candidates(self._pending(r), self.hosts)
         fetched = fetch_round(selected, self.fetcher, n_salts=self.n_salts)
         t = {"_select_build": round(time.perf_counter() - t0, 3)}
@@ -375,6 +398,12 @@ class CrawlEngine:
             # the resolved table, which must already include this round
             self._bloom_absorb_blobs(blobs)
         n_new = int(obs_frontier.get["n_new"])
+        # compaction bookkeeping: each scheduled fetch resolves exactly
+        # one frontier (url_sha, attempt) slot; the frontier gained the
+        # new candidates plus one bumped-attempt row per retry
+        n_retry = scheduled - n_ok - int(agg["n_dead"])
+        self._resolved_in_frontier += scheduled
+        self._frontier_rows += n_new + n_retry
         self._commit_lineage(r, scheduled, n_ok, n_err, n_new,
                              self._state_digest())
         t["lineage"] = round(time.perf_counter() - t1, 3)
@@ -385,12 +414,19 @@ class CrawlEngine:
 
     def compact_frontier(self) -> int:
         """Rewrite the frontier to pending-only rows (resolved slots
-        dropped). The frontier is append-only for cheap atomic rounds;
-        on long crawls resolved rows accumulate and every selection
-        anti-join rescans them — periodic compaction (e.g. every ~50
-        rounds, or when resolved/pending ratio passes ~4x) keeps the
-        scan proportional to actual pending work. Atomic: readers see
-        either the old or the compacted snapshot.
+        dropped); returns the pending-row count. The frontier is
+        append-only for cheap atomic rounds; on long crawls resolved
+        rows accumulate and every selection anti-join rescans them —
+        compaction keeps the scan proportional to actual pending work.
+        Atomic: readers see either the old or the compacted snapshot,
+        and a crash before the next lineage commit resumes against the
+        still-present pre-compaction snapshot (rollback re-pins the
+        manifest pointer; old snapshot dirs are never deleted).
+
+        Called automatically by run_round via _maybe_compact when the
+        resolved rows sitting in the frontier pass compact_ratio x
+        pending (and the compact_min_resolved floor); callable
+        explicitly for scheduled maintenance.
 
         Rediscovery nuance: after compaction the candidate first-wins
         anti-join no longer sees resolved URLs, so a re-discovered one
@@ -399,10 +435,34 @@ class CrawlEngine:
         ever being scheduled (verified in tests); it is swept by the
         next compaction.
         """
-        pend = self.frontier.read().join(
-            self.resolved.read().select("url_sha", "attempt"),
-            ["url_sha", "attempt"], "left_anti")
-        return self.frontier.overwrite(pend)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        pend = (
+            self.frontier.read()
+            .join(self.resolved.read().select("url_sha", "attempt"),
+                  ["url_sha", "attempt"], "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        self.frontier.overwrite(pend)
+        n = int(obs.get["n"])
+        self._frontier_rows = n
+        self._resolved_in_frontier = 0
+        self.compactions += 1
+        return n
+
+    def _maybe_compact(self) -> None:
+        """Ratio-triggered compaction (run_round entry hook). The
+        counters are exact deltas maintained per round (no extra jobs):
+        rediscovered-resolved rows re-entering post-compaction are the
+        only drift — counted pending though unschedulable — which only
+        delays the next compaction, never corrupts the crawl."""
+        if not self.compact_ratio:
+            return
+        pending = max(1, self._frontier_rows - self._resolved_in_frontier)
+        if (self._resolved_in_frontier >= self.compact_min_resolved
+                and self._resolved_in_frontier >= self.compact_ratio * pending):
+            self.compact_frontier()
 
     def _seen_digest(self) -> str:
         """Order-insensitive digest of url_seen for lineage audit,

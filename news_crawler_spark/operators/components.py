@@ -88,21 +88,37 @@ def connected_components(edges: DataFrame, src: str = "src",
     cur = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     cur = cur.localCheckpoint(eager=True)
     digest = _edge_digest(cur)
+    converged = False
     for _ in range(max_iter):
         # eager localCheckpoint every round — see module docstring
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nxt_digest = _edge_digest(nxt)
         cur = nxt
         if nxt_digest == digest:
+            converged = True
             break
         digest = nxt_digest
+    if not converged:
+        # an unconverged edge set is NOT a star forest: a node can
+        # appear both as a root and as a member with different labels,
+        # and an arbitrary-keep dedup would return silently
+        # nondeterministic components. Fail loudly — O(log n) rounds
+        # suffice for any practical graph, so this means max_iter was
+        # set far too low for the input.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} alternating star rounds (edge digest still "
+            "changing) — raise max_iter")
     roots = cur.select(F.col("dst").alias("node"))
     members = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    # groupBy-min instead of dropDuplicates(['node']): deterministic
+    # label even if an input row pattern ever yields a node as both
+    # root and member (belt-and-braces given the convergence check)
     return (
         roots.dropDuplicates()
         .withColumn("component", F.col("node"))
         .unionByName(members)
-        .dropDuplicates(["node"])
+        .groupBy("node").agg(F.min("component").alias("component"))
     )
 
 

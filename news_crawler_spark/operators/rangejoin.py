@@ -34,9 +34,18 @@ def interval_join_bucketed(points: DataFrame, intervals: DataFrame,
     through. A point lands in exactly one bucket and an interval's
     bucket list is distinct, so the bucket equi-join cannot duplicate
     a (point, interval) pair — no dedup pass needed.
+
+    Empty/inverted intervals (``e_sec <= s_sec``) are dropped up
+    front: a half-open interval with ``e <= s`` can never contain a
+    point, so the filter is semantics-preserving — and without it a
+    single corrupt inverted interval makes ``sequence(floor(s/b),
+    floor((e-1)/b))`` auto-generate a DESCENDING bucket list, exploding
+    O(span) junk rows into the join input (the post-filter would still
+    reject them, but only after paying for the blowup).
     """
     b = F.lit(bucket_sec)
     pb = points.withColumn("_bk", F.floor(F.col(p_sec) / b))
+    intervals = intervals.filter(F.col(e_sec) > F.col(s_sec))
     ib = intervals.withColumn(
         "_bk",
         F.explode(F.sequence(F.floor(F.col(s_sec) / b),

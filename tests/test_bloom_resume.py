@@ -105,6 +105,46 @@ def test_compaction_mid_crawl_preserves_semantics(spark, tmp_path):
     assert log == sorted(oracle.crawl_log)
 
 
+def test_auto_compaction_long_crawl_preserves_semantics(spark, tmp_path):
+    """The round loop triggers compact_frontier automatically on the
+    resolved-in-frontier/pending ratio; a long crawl (60 rounds, well
+    past frontier exhaustion) with auto-compaction must be
+    crawl-order- and seen-set-identical to one with compaction
+    disabled, while actually compacting and keeping the frontier table
+    near pending size."""
+    a = _mk_engine(spark, str(tmp_path / "a"),
+                   compact_ratio=2.0, compact_min_resolved=20)
+    seeds = spark.createDataFrame(seed_rows(CFG), "url string, priority double")
+    a.init(seeds)
+    a.run(60)
+    assert a.compactions >= 1, "ratio trigger never fired in 60 rounds"
+    # the pure-Python CrawlOracle IS the no-compaction reference: exact
+    # crawl-order + seen-set equality proves compaction changed nothing
+    oracle60 = CrawlOracle(CFG).run(60)
+    la = sorted((r["round"], r.host, r.seq, r.url) for r in a.crawl_log_df().collect())
+    assert la == sorted(oracle60.crawl_log)
+    assert ({(r.url, r.seen_round) for r in a.url_seen_df().collect()}
+            == set(oracle60.url_seen.items()))
+    # without compaction the frontier holds one row per resolved slot
+    # plus pending; compacted it must be strictly below the slot count
+    fa = a.frontier.read().count()
+    n_resolved = a.resolved.read().count()
+    assert fa < n_resolved, (
+        f"compaction never shrank the frontier ({fa} vs {n_resolved} slots)")
+
+    # resume after auto-compaction: counters rebuild exactly and the
+    # next rounds stay oracle-identical
+    a2 = _mk_engine(spark, str(tmp_path / "a"),
+                    compact_ratio=2.0, compact_min_resolved=20)
+    a2.resume()
+    assert a2._frontier_rows == fa
+    a2.run(2)
+    oracle = CrawlOracle(CFG).run(62)
+    log = sorted((r["round"], r.host, r.seq, r.url)
+                 for r in a2.crawl_log_df().collect())
+    assert log == sorted(oracle.crawl_log)
+
+
 def test_bloom_off_equals_bloom_on(spark, tmp_path):
     """The bloom is a router, not a semantic: same crawl either way."""
     a = _mk_engine(spark, str(tmp_path / "a"), use_bloom=True)

@@ -74,6 +74,26 @@ def test_cli_requires_state_dir(monkeypatch):
         cli.main(["crawl", "--rounds", "1"])
 
 
+def test_cli_malformed_env_is_clean_error_and_spares_bench(monkeypatch, capsys):
+    """A malformed NCS_* env var must surface through parser.error()
+    (clean exit code 2 + message) for settings-consuming subcommands,
+    NOT a raw SettingsError traceback — and must not take down
+    subcommands that never read settings (--help still works)."""
+    import pytest
+
+    from news_crawler_spark import cli
+
+    monkeypatch.setenv("NCS_MAX_ATTEMPTS", "0")  # out of bounds 1..10
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["crawl", "--state-dir", "/tmp/x", "--rounds", "0"])
+    assert ei.value.code == 2
+    assert "invalid environment settings" in capsys.readouterr().err
+    # parser construction (incl. help for other subcommands) survives
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["--help"])
+    assert ei.value.code == 0
+
+
 def test_cli_rejects_out_of_bounds_flags():
     """The CLI path enforces the same bounds as the env path — an
     out-of-range --max-attempts must error, not silently kill retries."""

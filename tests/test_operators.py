@@ -421,6 +421,24 @@ def test_interval_join_bucketed_exact(spark):
     assert got == want
 
 
+def test_interval_join_rejects_inverted_intervals(spark):
+    """An inverted interval (e <= s) matches nothing under half-open
+    semantics AND must not explode a descending O(span) bucket
+    sequence into the join input (one corrupt row could fan out
+    millions of junk rows before the post-filter)."""
+    from news_crawler_spark.operators.rangejoin import interval_join_bucketed
+
+    p = spark.createDataFrame([(0, 500)], "point_id long, p_sec long")
+    # inverted by 10^9 seconds: without the guard this alone explodes
+    # ~1.6M descending bucket rows at bucket_sec=600
+    i = spark.createDataFrame(
+        [(1, 1_000_000_000, 0), (2, 400, 400), (3, 400, 600)],
+        "interval_id long, s_sec long, e_sec long")
+    got = {(r.point_id, r.interval_id)
+           for r in interval_join_bucketed(p, i, bucket_sec=600).collect()}
+    assert got == {(0, 3)}
+
+
 def test_interval_join_random_property(spark):
     """Randomized property check: bucket-decomposed result equals the
     brute-force containment join for arbitrary interval layouts

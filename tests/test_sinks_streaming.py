@@ -204,6 +204,87 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     assert (t0, 4) not in rows
 
 
+def test_correlate_events_watermark_property(spark, tmp_path_factory):
+    """Property check on the hardest streaming semantics in the repo:
+    for RANDOM event layouts (dup timestamps, shared users, arbitrary
+    view/purchase interleavings) plus stragglers arriving a full
+    watermark behind, the stream-stream interval join must (a) emit
+    exactly the batch twin of the ON-TIME events — stragglers dropped,
+    never partially joined — and (b) actually expire its join state
+    (numRowsTotal collapses to the sentinel rows once the watermark
+    passes the main cluster)."""
+    import uuid
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from news_crawler_spark.streaming import correlate_events
+    from news_crawler_spark.streaming.events import EVENTS_SCHEMA
+
+    t0 = datetime.datetime(2025, 3, 1, 0, 0, 0)
+
+    def rows(evs, start_id):
+        return [(start_id + i, t0 + datetime.timedelta(minutes=m), u, k,
+                 1.0, "{}") for i, (u, k, m) in enumerate(evs)]
+
+    EV = st.tuples(st.integers(0, 3),
+                   st.sampled_from(["view", "purchase"]),
+                   st.integers(0, 600))
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(main=st.lists(EV, min_size=4, max_size=25),
+           stragglers=st.lists(EV, min_size=1, max_size=8))
+    def check(main, stragglers):
+        # sentinels advance BOTH streams' watermarks past the main
+        # cluster (global watermark = min across inputs) without ever
+        # pairing: user 999 is unused and their own gap exceeds the band
+        batch1 = rows(main, 0) + [
+            (900, t0 + datetime.timedelta(minutes=2000), 999, "view", 1.0, "{}"),
+            (901, t0 + datetime.timedelta(minutes=2130), 999, "purchase", 1.0, "{}"),
+        ]
+        b1 = spark.createDataFrame(batch1, EVENTS_SCHEMA)
+        expected = {(r.user_id, r.v_id, r.a_id, r.gap_us)
+                    for r in correlate_events(
+                        b1.filter(F.col("event_type") == "view"),
+                        b1.filter(F.col("event_type") == "purchase"),
+                        gap_minutes=60).collect()}
+
+        src = str(tmp_path_factory.mktemp("corr_prop") / "src")
+        name = f"corr_prop_{uuid.uuid4().hex[:8]}"
+        b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+        def stream(kind):
+            return (spark.readStream.schema(EVENTS_SCHEMA)
+                    .format("parquet").load(src)
+                    .filter(F.col("event_type") == kind))
+
+        q = (correlate_events(stream("view"), stream("purchase"),
+                              gap_minutes=60)
+             .writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+            # stragglers land ~23 h behind the watermark → dropped on
+            # BOTH sides, joined with nothing, leave no state
+            spark.createDataFrame(rows(stragglers, 500), EVENTS_SCHEMA) \
+                .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got = {(r.user_id, r.v_id, r.a_id, r.gap_us)
+                   for r in spark.sql(f"SELECT * FROM {name}").collect()}
+            states = [p["stateOperators"][0]["numRowsTotal"]
+                      for p in q.recentProgress
+                      if p.get("stateOperators")]
+        finally:
+            q.stop()
+        assert got == expected
+        # state expiry: after the straggler batch runs under the
+        # advanced watermark, only the two sentinel rows may survive
+        assert states and states[-1] <= 4, states
+
+    check()
+
+
 def test_stream_stream_join_equals_batch(spark, tmp_path):
     """correlate_events as a real stream-stream interval join (both
     sides watermarked readStreams) produces exactly the batch twin's
