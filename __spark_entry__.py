@@ -447,6 +447,107 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_quality_repetition(spark, sf_dir):
+    """Gopher/RefinedWeb repetition quality signal per document:
+    duplicate-word and duplicate-3gram fractions (boilerplate and
+    keyword stuffing are repetitive). operators/quality.py
+    repetition_profile — one Generate + one multi-distinct groupBy."""
+    from news_crawler_spark.operators import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_tfidf_bm25(spark, sf_dir):
+    """Okapi BM25 lexical ranking: top-5 terms per document by BM25
+    score (tf / df / dl / corpus-avg dl all computed distributed; the
+    1-row corpus constants broadcast back). Ranking orders by the
+    ROUNDED score with a term tiebreak so the DuckDB oracle replays
+    it deterministically."""
+    from news_crawler_spark.operators import bm25_scores
+
+    scored = bm25_scores(_t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+def q_url_normalize(spark, sf_dir):
+    """Frontier-dedup URL canonicalization (functions/urlops.py
+    url_normalize): lowercase scheme/host, default port stripped,
+    fragment dropped, tracking params removed, surviving params
+    sorted. The synthesized URLs plant every rule: mixed-case
+    scheme+host, :80 and :8080 ports, utm_*/gclid params out of
+    order, and a fragment."""
+    from news_crawler_spark.functions import url_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://WWW."), F.col("source"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, ".Example.COM:80")
+        .otherwise(".example.com:8080"),
+        F.lit("/Docs/"), F.col("lang"),
+        F.lit("?utm_source=feed&z="), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit("&a=1&gclid=xyz&m="), F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+        F.lit("#frag"),
+    )
+    return docs.select("doc_id", url.alias("url"),
+                       url_normalize(url).alias("norm"))
+
+
+def q_interleaved_spans_stats(spark, sf_dir):
+    """The north-rule input shape, end to end: build the interleaved
+    text+media document table (doc_id, spans:array<struct<kind,text,
+    media_ref,offset>>) deterministically from documents.text (10-token
+    chunks; every 3rd span is media with a derived media_ref, every
+    7th a link), then run the spans operators over it — per-kind
+    counts + text length (operators/spanops.span_stats, no explode)
+    and the offset-ordered flattened-text sha256 (flatten_text), the
+    engine's span-sequence equality digest.
+
+    The spans array is materialized behind a Generate barrier (explode
+    of a 1-element array) so its construction runs once per doc, not
+    once per consuming expression (CollapseProject re-inlines staged
+    projections)."""
+    from news_crawler_spark.operators import flatten_text, span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    staged = docs.select(
+        "doc_id", F.explode(F.array(toks)).alias("_toks"))
+    n_chunks = F.ceil(F.size("_toks") / F.lit(10.0)).cast("int")
+    chunk_text = lambda j: F.concat_ws(" ", F.slice(F.col("_toks"), j * 10 + 1, 10))  # noqa: E731
+    kind = lambda j: (F.when(j % 3 == 2, "media")  # noqa: E731
+                      .when(j % 7 == 3, "link").otherwise("text"))
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.struct(
+            kind(j).alias("kind"),
+            F.when(j % 3 == 2, "").otherwise(chunk_text(j)).alias("text"),
+            F.when(j % 3 == 2,
+                   F.concat(F.lit("ref/"), F.col("doc_id").cast("string"),
+                            F.lit("/"), j.cast("string")))
+            .otherwise(F.lit("")).alias("media_ref"),
+            j.cast("int").alias("offset"),
+        ),
+    )
+    spans_df = staged.select(
+        "doc_id", F.explode(F.array(spans)).alias("spans"))
+    stats = span_stats(spans_df).select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_text").cast("long").alias("n_text"),
+        F.col("n_link").cast("long").alias("n_link"),
+        F.col("n_media").cast("long").alias("n_media"),
+        F.col("text_chars").cast("long").alias("text_chars"),
+    )
+    flat = flatten_text(spans_df).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("flat_sha"))
+    return stats.join(flat, "doc_id")
+
+
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic (script detection + EN-stopword density)
     bucketed against the table's labeled lang column."""
@@ -1430,6 +1531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pipeline": q_doc_pipeline,
         # -- (3) new this round --
         "ioc_pattern_diff": q_ioc_pattern_diff,
+        "quality_repetition": q_quality_repetition,
+        "tfidf_bm25": q_tfidf_bm25,
+        "url_normalize": q_url_normalize,
+        "interleaved_spans_stats": q_interleaved_spans_stats,
         # -- (4) r02-green core, re-attested --
         "training_pipeline": q_training_pipeline,
         "jaccard_token_pairs": q_jaccard_token_pairs,
@@ -1450,10 +1555,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "lang_id": q_lang_id,
         "binary_meta": q_binary_meta,
+        # ---- driver gate window ends at position 50 ----
         "token_modes": q_token_modes,
         "text_stats": q_text_stats,
         "unpivot_metrics": q_unpivot_metrics,
-        # ---- driver gate window ends at position 50 ----
         "f1_date_range_filter": q_f1_date_range_filter,
         "f3_keyword_filter": q_f3_keyword_filter,
         "f4_exclusion_filter": q_f4_exclusion_filter,
@@ -1956,6 +2061,113 @@ def oracle_sql() -> dict[str, str]:
                                'brand')[1] AS brand,
                    cardinality(MAP {'brand': p_brand, 'type': p_type}) AS n
             FROM part
+        """,
+        "quality_repetition": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [] END AS grams
+              FROM t)
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   len(list_distinct(toks)) AS uniq_words,
+                   round(1 - len(list_distinct(toks)) / len(toks), 6)
+                     AS rep_word_frac,
+                   len(grams) AS n_grams,
+                   CASE WHEN len(grams) > 0
+                     THEN round(1 - len(list_distinct(grams)) / len(grams), 6)
+                     ELSE 0.0 END AS rep_gram_frac
+            FROM g
+        """,
+        "tfidf_bm25": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                     round(ln((g.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                           * (tf.tf * (1.2 + 1)
+                              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl))),
+                           6) AS score
+              FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN g)
+            SELECT doc_id, term, tf, df, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS rnk
+            FROM scored QUALIFY rnk <= 5
+        """,
+        "url_normalize": """
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTP://WWW.' || source ||
+                     CASE WHEN doc_id % 3 = 0 THEN '.Example.COM:80'
+                          ELSE '.example.com:8080' END ||
+                     '/Docs/' || lang ||
+                     '?utm_source=feed&z=' || (doc_id % 7) ||
+                     '&a=1&gclid=xyz&m=' || (doc_id % 5) || '#frag' AS url
+              FROM documents),
+            parts AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM u)
+            SELECT doc_id, url,
+                   scheme || '://' ||
+                   CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                        ELSE host0 END ||
+                   path ||
+                   CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS norm
+            FROM (
+              SELECT *,
+                     array_to_string(list_sort(list_filter(
+                       string_split(query, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p,
+                         '^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)(=|$)'))),
+                       '&') AS qn
+              FROM parts)
+        """,
+        "interleaved_spans_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_chunks
+              FROM t),
+            ch AS (
+              SELECT doc_id, unnest(range(0, n_chunks)) AS j, toks
+              FROM c),
+            sp AS (
+              SELECT doc_id, j,
+                     CASE WHEN j % 3 = 2 THEN 'media'
+                          WHEN j % 7 = 3 THEN 'link'
+                          ELSE 'text' END AS kind,
+                     CASE WHEN j % 3 = 2 THEN ''
+                          ELSE array_to_string(toks[10*j+1 : 10*j+10], ' ')
+                     END AS sptext
+              FROM ch)
+            SELECT doc_id,
+                   count(*) AS n_spans,
+                   count(*) FILTER (kind = 'text') AS n_text,
+                   count(*) FILTER (kind = 'link') AS n_link,
+                   count(*) FILTER (kind = 'media') AS n_media,
+                   CAST(sum(length(sptext)) AS BIGINT) AS text_chars,
+                   sha256(string_agg(CASE WHEN sptext <> '' THEN sptext END,
+                                     ' ' ORDER BY j)) AS flat_sha
+            FROM sp GROUP BY doc_id
         """,
         "token_modes": """
             SELECT doc_id,

@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "range_join",
     "training_pipeline",
+    "quality_repetition",
+    "tfidf_bm25",
+    "interleaved_spans_stats",
 ]
 
 

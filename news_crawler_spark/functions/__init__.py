@@ -9,7 +9,13 @@ from news_crawler_spark.functions.ioc import (
     extract_iocs_long,
     valid_ipv4,
 )
-from news_crawler_spark.functions.urlops import url_host, url_origin, url_path, url_query
+from news_crawler_spark.functions.urlops import (
+    url_host,
+    url_normalize,
+    url_origin,
+    url_path,
+    url_query,
+)
 from news_crawler_spark.functions.textstats import (
     fingerprint,
     lang_guess,
@@ -25,6 +31,7 @@ __all__ = [
     "extract_iocs_long",
     "valid_ipv4",
     "url_host",
+    "url_normalize",
     "url_origin",
     "url_path",
     "url_query",

@@ -37,6 +37,44 @@ def url_origin(col) -> F.Column:
     return F.regexp_extract(_c(col), r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
 
 
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)(=|$)"
+
+
+def url_normalize(col) -> F.Column:
+    """Canonical URL for frontier/seen-set dedup: lowercase scheme and
+    host, default port stripped (:80 for http, :443 for https),
+    fragment dropped, tracking params removed (utm_*, fbclid, gclid,
+    msclkid, ref_src), remaining query params SORTED — so the same
+    resource fetched via differently-ordered or tracker-decorated
+    links hashes to one frontier slot instead of being crawled twice.
+
+    All native (regexp_extract / filter / array_sort / concat) —
+    codegen'd, and every step is replayable by the DuckDB oracle.
+    Path is preserved verbatim ('' stays '', no trailing-slash
+    guessing): normalization must never merge two URLs a server could
+    treat differently.
+    """
+    c = F.trim(_c(col))
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host0 = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host0, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host0, r":443$", ""))
+        .otherwise(host0)
+    )
+    path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    query = F.regexp_extract(c, QUERY_RE, 1)
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    ))
+    qnorm = F.array_join(kept, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+
+
 def url_unquote(col) -> F.Column:
     """Percent-decoding with ``urllib.parse.unquote`` semantics
     (reference ``suricata_url.py:85-88``): '+' is a literal plus, and

@@ -1,0 +1,99 @@
+"""Corpus quality + lexical-ranking operators (training-data ops).
+
+A crawl that feeds a training pipeline scores what it fetched before
+keeping it. ``repetition_profile`` is the Gopher/RefinedWeb-style
+repetition signal (duplicate word / n-gram fraction — boilerplate and
+spam are repetitive); ``bm25_scores`` is the classic Okapi BM25
+per-(doc, term) lexical relevance used for corpus search, nearest-
+query mining, and quality-proxy ranking.
+
+Scale shape: everything reduces to explode → groupBy with map-side
+partial aggregation; the only corpus-wide state is the 1-row
+(N, avgdl) aggregate, which joins back as a broadcast. No Python on
+the data plane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", gram_n: int = 3) -> DataFrame:
+    """Per-doc repetition stats: (n_words, uniq_words, rep_word_frac,
+    n_grams, rep_gram_frac) where rep_*_frac = 1 - distinct/total —
+    the "fraction of duplicate n-grams" quality rule (Gopher rules,
+    Rae et al. 2021; RefinedWeb, Penedo et al. 2023). High repetition
+    ⇒ boilerplate / keyword stuffing / generation loops.
+
+    One Generate (posexplode) + one groupBy: the n-grams come from
+    lead() over token position, so the tokenizer runs once per doc —
+    not once per gram (the HOF-lambda recompute trap); the multi-
+    distinct aggregate is one shuffle with map-side expand.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w)
+                               for i in range(1, gram_n)]
+    last = F.lead("_tok", gram_n - 1).over(w)
+    grams = tok.select(
+        F.col(id_col), F.col("_tok"),
+        F.when(last.isNotNull(), F.concat_ws(" ", *parts)).alias("_g"),
+    )
+    agg = grams.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("_tok").alias("uniq_words"),
+        F.count("_g").alias("n_grams"),          # count() skips nulls
+        F.countDistinct("_g").alias("uniq_grams"),
+    )
+    return agg.select(
+        F.col(id_col), "n_words", "uniq_words",
+        F.round(F.lit(1) - F.col("uniq_words") / F.col("n_words"), 6)
+        .alias("rep_word_frac"),
+        "n_grams",
+        F.when(F.col("n_grams") > 0,
+               F.round(F.lit(1) - F.col("uniq_grams") / F.col("n_grams"), 6))
+        .otherwise(F.lit(0.0)).alias("rep_gram_frac"),
+    )
+
+
+def bm25_scores(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """Okapi BM25 score per (doc, term):
+    ``idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl / avgdl))``
+    with ``idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the
+    Robertson/Sparck-Jones '+1' form — always positive).
+
+    Shape: tf and dl are per-doc groupBys (map-side partial), df is a
+    per-term groupBy over the tf table, and the corpus constants
+    (N docs, avg doc length) are ONE row joined back as a broadcast
+    cross — the corpus shuffles once on doc id and once on term,
+    independent of k1/b. Scores are rounded to 6 dp so any engine
+    (the DuckDB oracle included) replays the ranking deterministically.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    g = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # dft is NOT broadcast-hinted: the term dictionary grows with the
+    # corpus (millions of terms at 100 TB) — let AQE pick broadcast
+    # when it actually fits; the 1-row corpus constants always do
+    joined = (
+        tf.join(dl, id_col)
+        .join(dft, "term")
+        .crossJoin(F.broadcast(g))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    score = idf * (F.col("tf") * (k1 + 1)
+                   / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                          / F.col("avgdl"))))
+    return joined.select(
+        F.col(id_col), "term", "tf", "df",
+        F.round(score, 6).alias("score"),
+    )

@@ -163,6 +163,64 @@ def test_dedup_family_releases_storage(spark):
             "near-dup operator left a pinned entry in the CacheManager")
 
 
+def test_repetition_profile_hand_model(spark):
+    from news_crawler_spark.operators import repetition_profile
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"),            # 4 words 1 uniq; 3-grams: "a a a" x2
+         (2, "w x y z"),            # no repetition at all
+         (3, "ab")],                # single word: zero 3-grams
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_profile(df).collect()}
+    assert (got[1].n_words, got[1].uniq_words) == (4, 1)
+    assert got[1].rep_word_frac == 0.75
+    assert (got[1].n_grams, got[1].rep_gram_frac) == (2, 0.5)
+    assert got[2].rep_word_frac == 0.0 and got[2].rep_gram_frac == 0.0
+    assert got[3].n_grams == 0 and got[3].rep_gram_frac == 0.0
+
+
+def test_bm25_matches_python_model(spark):
+    import math
+
+    from news_crawler_spark.operators import bm25_scores
+
+    corpus = {1: "spark shuffle join", 2: "spark spark scan", 3: "join scan io"}
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {(r.doc_id, r.term): (r.tf, r.df, r.score)
+           for r in bm25_scores(df).collect()}
+
+    docs = {d: t.split() for d, t in corpus.items()}
+    n, avgdl = len(docs), sum(map(len, docs.values())) / len(docs)
+    dfreq = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    for (d, term), (tf, dfv, score) in got.items():
+        assert tf == docs[d].count(term) and dfv == dfreq[term]
+        idf = math.log((n - dfv + 0.5) / (dfv + 0.5) + 1)
+        want = idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(docs[d]) / avgdl)))
+        assert abs(score - want) < 1e-6, (d, term)
+
+
+def test_url_normalize_rules(spark):
+    from news_crawler_spark.functions import url_normalize
+
+    cases = [
+        # default port stripped only when it matches the scheme
+        ("HTTP://Ex.COM:80/A?b=2&a=1#f", "http://ex.com/A?a=1&b=2"),
+        ("https://ex.com:443/", "https://ex.com/"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+        # tracking params out, survivors sorted, fragment dropped
+        ("http://ex.com/p?utm_source=x&z=1&gclid=g&a=2", "http://ex.com/p?a=2&z=1"),
+        # all params tracking -> no '?'
+        ("http://ex.com/p?utm_a=1&fbclid=2", "http://ex.com/p"),
+        ("http://ex.com", "http://ex.com"),  # no path: preserved verbatim
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.n for r in df.select(url_normalize("url").alias("n")).collect()]
+    assert got == [w for _, w in cases]
+
+
 # ------------------------------------------------------------------ ioc sets
 def test_canonical_vs_asec_ioc_sets(spark):
     """The reference keeps TWO pattern sets that deliberately differ
