@@ -941,6 +941,33 @@ def q_jaccard_token_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, shingle_n=1, threshold=0.5)
 
 
+def q_minhash_jaccard_est(spark, sf_dir):
+    """Jaccard ESTIMATION from MinHash signature agreement: for every
+    LSH candidate pair, the fraction of agreeing signature components
+    (an unbiased Jaccard estimator, Broder 1997) — the cheap O(pairs ×
+    num_hashes) verifier that replaces the quadratic exact-shingle
+    join at corpus scale. Signatures compute ONCE (localCheckpoint)
+    and feed both the band-bucket candidate join and the agreement
+    count; agreement is a native zip_with/filter/size over the two
+    sig arrays. sha2-derived hashes → the DuckDB oracle replays every
+    signature component value-exactly."""
+    from news_crawler_spark.operators.dedup import (
+        band_pairs, minhash_band_table, minhash_signatures)
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    cand = band_pairs(minhash_band_table(sigs))
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sb"))
+    matches = F.size(F.filter(
+        F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda m: m))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b",
+                F.round(matches / F.lit(32.0), 6).alias("jaccard_est"))
+    )
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline over embeddings."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1460,6 +1487,64 @@ def _simhash_oracle(band_bits: int = 16) -> str:
         """
 
 
+def _minhash_jaccard_est_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Replays minhash signatures (sha2 double-hashing), LSH band
+    candidates, and the per-pair signature-agreement fraction —
+    the exact pipeline of q_minhash_jaccard_est."""
+    rpb = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(_h1 + {j}*_h2) AS m{j}" for j in range(num_hashes))
+    band_rows = "\n              UNION ALL\n".join(
+        f"              SELECT doc_id, {b} AS band_id, "
+        + " || ',' || ".join(
+            f"CAST(m{b * rpb + i} AS VARCHAR)" for i in range(rpb))
+        + " AS band_hash FROM sigs"
+        for b in range(bands))
+    sig_list = ", ".join(f"m{j}" for j in range(num_hashes))
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) >= 3
+                              THEN list_transform(
+                                     range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))
+                              ELSE [array_to_string(t, ' ')] END) AS shingle
+                FROM toks)),
+            hashed AS (
+              SELECT doc_id,
+                     ('0x' || substr(sha256(shingle), 1, 15))::BIGINT
+                        % 2147483648 AS _h1,
+                     ('0x' || substr(sha256(shingle), 16, 15))::BIGINT
+                        % 2147483648 + 1 AS _h2
+              FROM sh),
+            sigs AS (
+              SELECT doc_id,
+                   {mins}
+              FROM hashed GROUP BY doc_id),
+            bands AS (
+{band_rows}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band_id, band_hash)
+              WHERE a.doc_id < b.doc_id),
+            ml AS (
+              SELECT doc_id, unnest([{sig_list}]) AS v,
+                     unnest(range(0, {num_hashes})) AS j
+              FROM sigs)
+            SELECT c.id_a, c.id_b,
+                   round(avg(CASE WHEN ma.v = mb.v THEN 1.0 ELSE 0.0 END), 6)
+                     AS jaccard_est
+            FROM cand c
+            JOIN ml ma ON ma.doc_id = c.id_a
+            JOIN ml mb ON mb.doc_id = c.id_b AND mb.j = ma.j
+            GROUP BY c.id_a, c.id_b
+        """
+
+
 def _embedding_near_dup_oracle(dim: int = 64, n_planes: int = 6,
                                seed: int = 42, threshold: float = 0.3) -> str:
     from news_crawler_spark.operators.similarity import rademacher_signs
@@ -1535,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_bm25": q_tfidf_bm25,
         "url_normalize": q_url_normalize,
         "interleaved_spans_stats": q_interleaved_spans_stats,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
         # -- (4) r02-green core, re-attested --
         "training_pipeline": q_training_pipeline,
         "jaccard_token_pairs": q_jaccard_token_pairs,
@@ -1554,8 +1640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_group": q_sample_k_per_group,
         "vocab_topk": q_vocab_topk,
         "lang_id": q_lang_id,
-        "binary_meta": q_binary_meta,
         # ---- driver gate window ends at position 50 ----
+        "binary_meta": q_binary_meta,
         "token_modes": q_token_modes,
         "text_stats": q_text_stats,
         "unpivot_metrics": q_unpivot_metrics,
@@ -2551,4 +2637,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _simhash_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
+        "minhash_jaccard_est": _minhash_jaccard_est_oracle(),
     }

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "quality_repetition",
     "tfidf_bm25",
     "interleaved_spans_stats",
+    "minhash_jaccard_est",
 ]
 
 

@@ -165,6 +165,40 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_band_table(sigs: DataFrame, num_hashes: int = 32,
+                       bands: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_id, band_hash) from a signature table. The band key
+    is the signature slice itself (joined as a string) —
+    engine-agnostic, so the oracle can replay it; at truly huge band
+    tables swap in a fixed-width hash of the same string."""
+    rows_per_band = num_hashes // bands
+    # sig arrives as a bound attribute (separate projection), so the
+    # per-band slices don't recompute the signature
+    return sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(*[
+                F.concat_ws(
+                    ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_hash"),
+    )
+
+
+def band_pairs(band: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Bucket self-join of a (id, band_id, band_hash) table →
+    distinct candidate pairs (id_a < id_b)."""
+    a = band.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = band.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 32,
                            bands: int = 8, shingle_n: int = 3,
@@ -173,29 +207,15 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
     shingle → minhash → band-key → bucket self-join. Docs land in
     ``bands`` buckets each, so the shuffle is O(docs × bands); only
-    same-bucket docs are paired. The band key is the signature slice
-    itself (joined as a string) — engine-agnostic, so the oracle can
-    replay it; at truly huge band tables swap in a fixed-width hash of
-    the same string. Jaccard-verify candidates with
-    :func:`ngram_jaccard_pairs` when exactness matters.
+    same-bucket docs are paired. Jaccard-verify candidates with
+    :func:`ngram_jaccard_pairs` when exactness matters, or estimate
+    cheaply from signature agreement (minhash signatures estimate
+    Jaccard unbiasedly — see the ``minhash_jaccard_est`` contract
+    query).
     """
-    rows_per_band = num_hashes // bands
-    # sig arrives as a bound attribute (separate projection), so the
-    # per-band slices don't recompute the signature
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
                               hash_fn=hash_fn)
-    band = (
-        sigs.select(
-            id_col,
-            F.posexplode(
-                F.array(*[
-                    F.concat_ws(
-                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
-                    for b in range(bands)
-                ])
-            ).alias("band_id", "band_hash"),
-        )
-    )
+    band = minhash_band_table(sigs, num_hashes, bands, id_col)
     # self-join branches don't share work in Spark (no common-subplan
     # reuse across join sides) — materialize the band table so
     # signatures compute once, not once per side (measured 4 scans
@@ -205,14 +225,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     # blocks are released by the ContextCleaner once the result is
     # GC'd (same rationale as topk.global_row_number).
     band = band.localCheckpoint(eager=True)
-    a = band.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = band.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-    )
+    return band_pairs(band, id_col)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -141,34 +141,51 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
         key=lambda t: t[0],
     )
     vec = F.col(vec_col)
-
-    def dot_lit(cvec: list[float]) -> F.Column:
-        sarr = F.array(*[F.lit(x) for x in cvec])
-        return F.aggregate(
-            F.zip_with(vec, sarr, lambda x, s: x.cast("double") * s),
-            F.lit(0.0), lambda acc, v: acc + v)
-
+    # cast the row vector to double ONCE (HOFs evaluate interpreted —
+    # per-centroid re-casting costs dim x n_centroids interpreted
+    # casts per row) and stage it with the norm behind the barrier
+    vd = F.transform(vec, lambda x: x.cast("double"))
     vnorm = F.sqrt(F.aggregate(
         F.zip_with(vec, vec, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
-    staged = df.select("*", F.explode(F.array(vnorm)).alias("_vnorm"))
+    staged = df.select(
+        "*",
+        F.explode(F.array(F.struct(vnorm.alias("vn"), vd.alias("vd"))))
+        .alias("_vs"))
 
-    elems = []
-    for cell, cvec in cent:
+    # centroids enter as ONE literal array of structs and the scoring
+    # is ONE transform lambda — not n_centroids inlined fold
+    # expressions, which blow past the JIT method-size limit and drop
+    # the stage out of whole-stage codegen (measured ~2x slower); the
+    # per-centroid norm is precomputed driver-side with the same
+    # left-fold order as the engine-side dot, so values are identical
+    def centroid_struct(cell: int, cvec: list[float]) -> F.Column:
         cnorm = 0.0
-        for x in cvec:  # same left-fold order as the engine-side dot
+        for x in cvec:
             cnorm += x * x
-        cnorm = math.sqrt(cnorm)
-        sim = F.round(dot_lit(cvec) / (F.col("_vnorm") * F.lit(cnorm)), 6)
+        return F.struct(
+            F.lit(cell).alias("cell"),
+            F.array(*[F.lit(x) for x in cvec]).alias("cvec"),
+            F.lit(math.sqrt(cnorm)).alias("cnorm"))
+
+    cent_lit = F.array(*[centroid_struct(c, v) for c, v in cent])
+
+    def score(c: F.Column) -> F.Column:
+        dot = F.aggregate(
+            F.zip_with(F.col("_vs.vd"), c.getField("cvec"),
+                       lambda x, s: x * s),
+            F.lit(0.0), lambda acc, v: acc + v)
+        sim = F.round(dot / (F.col("_vs.vn") * c.getField("cnorm")), 6)
         # struct natural ordering: ascending (-sim, cell) == the
         # (sim DESC, cell ASC) argmax order
-        elems.append(F.struct((-sim).alias("_negsim"),
-                              F.lit(cell).alias("_cell")))
-    picked = F.slice(F.array_sort(F.array(*elems)), 1, nprobe)
+        return F.struct((-sim).alias("_negsim"),
+                        c.getField("cell").alias("_cell"))
+
+    picked = F.slice(F.array_sort(F.transform(cent_lit, score)), 1, nprobe)
     return (
         staged.select("*", F.explode(picked).alias("_pick"))
         .withColumn(out_col, F.col("_pick._cell"))
-        .drop("_pick", "_vnorm")
+        .drop("_pick", "_vs")
     )
 
 
