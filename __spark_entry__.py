@@ -548,6 +548,119 @@ def q_interleaved_spans_stats(spark, sf_dir):
     return stats.join(flat, "doc_id")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental corpus ingestion (the production dedup flow): a new
+    batch of documents (odd doc_ids) lands against an existing corpus
+    (even doc_ids); each batch doc gets a verdict — ``exact_dup``
+    (normalized-text fingerprint already in the corpus), ``near_dup``
+    (shares a MinHash LSH band with a corpus doc), or ``new`` — plus
+    the smallest witnessing corpus doc id. At scale the corpus side is
+    the persisted fingerprint/band tables maintained across ingests;
+    both joins are equi-joins on derived keys (fingerprint, band
+    hash) — nothing rescans corpus text."""
+    from news_crawler_spark.operators.dedup import (
+        minhash_band_table, minhash_signatures)
+
+    docs = _t(spark, sf_dir, "documents")
+    # plant exact duplicates so all three verdict classes exercise:
+    # batch docs with doc_id % 14 == 1 copy their corpus neighbor's
+    # text verbatim (doc_id - 1 is always even = corpus side)
+    donor = docs.select((F.col("doc_id") + 1).alias("doc_id"),
+                        F.col("text").alias("_dtext"))
+    docs = (
+        docs.join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when((F.pmod(F.col("doc_id"), F.lit(14)) == 1)
+                   & F.col("_dtext").isNotNull(), F.col("_dtext"))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+
+    cfp = (corpus.select(fingerprint("text").alias("fp"), "doc_id")
+           .groupBy("fp").agg(F.min("doc_id").alias("_efid")))
+    exact = (batch.select("doc_id", fingerprint("text").alias("fp"))
+             .join(cfp, "fp", "left").select("doc_id", "_efid"))
+
+    cb = minhash_band_table(minhash_signatures(corpus)).select(
+        F.col("doc_id").alias("_cid"), "band_id", "band_hash")
+    bb = minhash_band_table(minhash_signatures(batch)).select(
+        "doc_id", "band_id", "band_hash")
+    near = (bb.join(cb, ["band_id", "band_hash"])
+            .groupBy("doc_id").agg(F.min("_cid").alias("_nfid")))
+
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_efid").isNotNull(), "exact_dup")
+            .when(F.col("_nfid").isNotNull(), "near_dup")
+            .otherwise("new").alias("verdict"),
+            F.coalesce("_efid", "_nfid").alias("matched_id"),
+        )
+    )
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap XML render→parse round trip (sources/sitemap.py): one
+    urlset document per source host is SYNTHESIZED from the documents
+    table (loc/lastmod/changefreq/priority derived from doc_id),
+    parsed back through the native from_xml pipeline, and the oracle
+    recomputes the expected rows from documents directly — the
+    crawl-side companion to the s2_rss_parse check."""
+    from news_crawler_spark.sources.sitemap import parse_sitemap
+
+    docs = _t(spark, sf_dir, "documents")
+    item = F.concat(
+        F.lit("<url><loc>http://"), F.col("source"), F.lit(".test/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2025-01-"),
+        F.lpad((F.pmod(F.col("doc_id"), F.lit(27)) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>"),
+        F.element_at(F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+                     (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int")),
+        F.lit("</changefreq><priority>0."),
+        F.pmod(F.col("doc_id"), F.lit(10)).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    feeds = docs.groupBy("source").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("doc_id"), item.alias("x")))),
+                    lambda s: s.getField("x")),
+                ""),
+            F.lit("</urlset>"),
+        ).alias("xml"))
+    return parse_sitemap(feeds, keep_cols=["source"])
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing (LLM training-data op): assign documents to
+    fixed token-budget bins (4096) by contiguous greedy packing in
+    deterministic (lang, doc_id) order — a doc starting at cumulative
+    offset c lands in bin floor(c / B), straddling allowed (the
+    pack-then-split convention). The cumulative sum window is
+    PARTITIONED per language shard, so it parallelizes across shards —
+    a global orderBy window would funnel every row through one task
+    (the same scale trap operators/topk.global_row_number exists to
+    avoid); real pipelines pack within shards for exactly this reason."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    n_tok = token_count("text")
+    return (
+        docs.select("lang", "doc_id", n_tok.cast("long").alias("n_tokens"))
+        .withColumn("offset",
+                    F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))
+        .withColumn("bin_id", F.floor(F.col("offset") / F.lit(4096)))
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic (script detection + EN-stopword density)
     bucketed against the table's labeled lang column."""
@@ -1487,10 +1600,12 @@ def _simhash_oracle(band_bits: int = 16) -> str:
         """
 
 
-def _minhash_jaccard_est_oracle(num_hashes: int = 32, bands: int = 8) -> str:
-    """Replays minhash signatures (sha2 double-hashing), LSH band
-    candidates, and the per-pair signature-agreement fraction —
-    the exact pipeline of q_minhash_jaccard_est."""
+def _minhash_cte_sql(num_hashes: int = 32, bands: int = 8,
+                     from_sql: str = "documents") -> str:
+    """Shared WITH-body replaying minhash signatures (sha2 double
+    hashing) and the LSH band table for every document — the common
+    prefix of the generated near-dup oracles. ``from_sql`` names the
+    (doc_id, text) relation to read."""
     rpb = num_hashes // bands
     mins = ",\n                   ".join(
         f"min(_h1 + {j}*_h2) AS m{j}" for j in range(num_hashes))
@@ -1500,11 +1615,9 @@ def _minhash_jaccard_est_oracle(num_hashes: int = 32, bands: int = 8) -> str:
             f"CAST(m{b * rpb + i} AS VARCHAR)" for i in range(rpb))
         + " AS band_hash FROM sigs"
         for b in range(bands))
-    sig_list = ", ".join(f"m{j}" for j in range(num_hashes))
-    return f"""
-            WITH toks AS (
+    return f"""toks AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-              FROM documents),
+              FROM {from_sql}),
             sh AS (
               SELECT DISTINCT doc_id, shingle FROM (
                 SELECT doc_id,
@@ -1526,7 +1639,16 @@ def _minhash_jaccard_est_oracle(num_hashes: int = 32, bands: int = 8) -> str:
                    {mins}
               FROM hashed GROUP BY doc_id),
             bands AS (
-{band_rows}),
+{band_rows})"""
+
+
+def _minhash_jaccard_est_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Replays minhash signatures, LSH band candidates, and the
+    per-pair signature-agreement fraction — the exact pipeline of
+    q_minhash_jaccard_est."""
+    sig_list = ", ".join(f"m{j}" for j in range(num_hashes))
+    return f"""
+            WITH {_minhash_cte_sql(num_hashes, bands)},
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM bands a JOIN bands b USING (band_id, band_hash)
@@ -1542,6 +1664,43 @@ def _minhash_jaccard_est_oracle(num_hashes: int = 32, bands: int = 8) -> str:
             JOIN ml ma ON ma.doc_id = c.id_a
             JOIN ml mb ON mb.doc_id = c.id_b AND mb.j = ma.j
             GROUP BY c.id_a, c.id_b
+        """
+
+
+def _incremental_dedup_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Replays the incremental-ingest verdicts: odd doc_ids are the
+    new batch, even doc_ids the existing corpus; exact via fingerprint
+    equality, near via shared LSH band; exact-dup rows planted by
+    copying the corpus neighbor's text for doc_id % 14 == 1."""
+    return f"""
+            WITH d2 AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.doc_id % 14 = 1 AND dn.text IS NOT NULL
+                          THEN dn.text ELSE d.text END AS text
+              FROM documents d
+              LEFT JOIN documents dn ON dn.doc_id = d.doc_id - 1),
+            {_minhash_cte_sql(num_hashes, bands, from_sql="d2")},
+            fp AS (
+              SELECT doc_id,
+                     sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp
+              FROM d2),
+            exact AS (
+              SELECT b.doc_id, min(c.doc_id) AS efid
+              FROM fp b LEFT JOIN fp c
+                ON c.fp = b.fp AND c.doc_id % 2 = 0
+              WHERE b.doc_id % 2 = 1 GROUP BY b.doc_id),
+            near AS (
+              SELECT b.doc_id, min(c.doc_id) AS nfid
+              FROM bands b JOIN bands c USING (band_id, band_hash)
+              WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+              GROUP BY b.doc_id)
+            SELECT e.doc_id,
+                   CASE WHEN e.efid IS NOT NULL THEN 'exact_dup'
+                        WHEN n.nfid IS NOT NULL THEN 'near_dup'
+                        ELSE 'new' END AS verdict,
+                   coalesce(e.efid, n.nfid) AS matched_id
+            FROM exact e LEFT JOIN near n USING (doc_id)
         """
 
 
@@ -1621,6 +1780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "interleaved_spans_stats": q_interleaved_spans_stats,
         "minhash_jaccard_est": q_minhash_jaccard_est,
+        "sequence_packing": q_sequence_packing,
+        "sitemap_parse": q_sitemap_parse,
+        "incremental_dedup": q_incremental_dedup,
         # -- (4) r02-green core, re-attested --
         "training_pipeline": q_training_pipeline,
         "jaccard_token_pairs": q_jaccard_token_pairs,
@@ -1637,10 +1799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "sample_stratified": q_sample_stratified,
+        # ---- driver gate window ends at position 50 ----
         "sample_k_per_group": q_sample_k_per_group,
         "vocab_topk": q_vocab_topk,
         "lang_id": q_lang_id,
-        # ---- driver gate window ends at position 50 ----
         "binary_meta": q_binary_meta,
         "token_modes": q_token_modes,
         "text_stats": q_text_stats,
@@ -2148,6 +2310,34 @@ def oracle_sql() -> dict[str, str]:
                    cardinality(MAP {'brand': p_brand, 'type': p_type}) AS n
             FROM part
         """,
+        "sitemap_parse": """
+            SELECT source,
+                   'http://' || source || '.test/doc/' || doc_id AS loc,
+                   CAST('2025-01-' ||
+                        lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+                        AS DATE) AS lastmod,
+                   (['daily','weekly','monthly'])[(doc_id % 3) + 1]
+                     AS changefreq,
+                   CAST('0.' || (doc_id % 10) AS DOUBLE) AS priority
+            FROM documents
+        """,
+        "sequence_packing": """
+            WITH t AS (
+              SELECT lang, doc_id,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents)
+            SELECT lang, doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS "offset",
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 4096.0) AS BIGINT) AS bin_id
+            FROM t
+        """,
         "quality_repetition": """
             WITH t AS (
               SELECT doc_id,
@@ -2638,4 +2828,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "minhash_jaccard_est": _minhash_jaccard_est_oracle(),
+        "incremental_dedup": _incremental_dedup_oracle(),
     }

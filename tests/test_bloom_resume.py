@@ -145,6 +145,33 @@ def test_auto_compaction_long_crawl_preserves_semantics(spark, tmp_path):
     assert log == sorted(oracle.crawl_log)
 
 
+def test_kill_after_compaction_resumes_cleanly(spark, tmp_path):
+    """Compaction swaps the frontier to a new snapshot OUTSIDE the
+    lineage protocol (it is pure maintenance, not round state). A kill
+    between the compaction overwrite and the next round's lineage
+    commit must resume against the PRE-compaction snapshot — rollback
+    re-pins the manifest pointer and old snapshot dirs are never
+    deleted — and the continued crawl must stay oracle-identical."""
+    state = str(tmp_path / "state")
+    eng = _mk_engine(spark, state)
+    eng.init(spark.createDataFrame(seed_rows(CFG), "url string, priority double"))
+    eng.run(3)
+    pre = eng.frontier.read().count()
+    eng.compact_frontier()  # then "killed": no further lineage commit
+    assert eng.frontier.read().count() < pre
+
+    eng2 = _mk_engine(spark, state)
+    eng2.resume()
+    # rolled back to the round-2 lineage snapshot (pre-compaction)
+    assert eng2.frontier.read().count() == pre
+    assert eng2._frontier_rows == pre
+    eng2.run(2)
+    oracle = CrawlOracle(CFG).run(5)
+    log = sorted((r["round"], r.host, r.seq, r.url)
+                 for r in eng2.crawl_log_df().collect())
+    assert log == sorted(oracle.crawl_log)
+
+
 def test_bloom_off_equals_bloom_on(spark, tmp_path):
     """The bloom is a router, not a semantic: same crawl either way."""
     a = _mk_engine(spark, str(tmp_path / "a"), use_bloom=True)

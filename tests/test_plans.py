@@ -130,6 +130,32 @@ def test_minhash_plan_is_partial_aggregated(spark):
     assert "partial_min" in plan or "merge_min" in plan or "Exchange" in plan
 
 
+def test_bm25_plan_partial_aggs_and_broadcast_constants(spark):
+    """BM25's tf/dl/df groupBys must partial-aggregate map-side (the
+    shuffle carries per-key partials, not raw token rows), and the
+    1-row corpus-constants join must be a broadcast — never a shuffle
+    of the corpus against a 1-row side."""
+    from news_crawler_spark.operators import bm25_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(bm25_scores(docs), "simple")
+    assert plan.count("HashAggregate") >= 4  # partial+final for tf/dl
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_profile_single_generate(spark):
+    """The repetition profile must tokenize ONCE per doc (one Generate
+    from posexplode; grams via lead over position) — an inline
+    HOF-transform form would re-split the text per gram."""
+    from news_crawler_spark.operators import repetition_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(repetition_profile(docs), "simple")
+    assert plan.count("Generate") == 1
+    assert "Expand" in plan or "HashAggregate" in plan  # multi-distinct agg
+
+
 def test_ivf_assignment_no_shuffle_no_join(spark):
     """The IVF cell assignment must be pure per-row projection over the
     corpus: centroid sims as one literal-array expression, top-nprobe

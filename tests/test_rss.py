@@ -98,3 +98,31 @@ def test_parse_rss_malformed_pubdate_yields_null_not_crash(spark):
     assert str(rows["http://t/2"].published) == "2024-05-06"  # regex fallback
     assert rows["http://t/3"].pub_ts is None
     assert str(rows["http://t/3"].published) == "1970-01-01"  # default
+
+
+def test_parse_sitemap_and_candidates(spark):
+    """Sitemap urlset parse: good entries get typed lastmod/priority;
+    malformed values yield null (never an ANSI crash); candidates
+    project to the CrawlEngine.init (url, priority) seed shape with a
+    default for missing priority."""
+    from news_crawler_spark.sources.sitemap import (
+        parse_sitemap, sitemap_candidates)
+
+    xml = ('<urlset>'
+           '<url><loc>http://h/a</loc><lastmod>2025-02-03</lastmod>'
+           '<changefreq>daily</changefreq><priority>0.8</priority></url>'
+           '<url><loc>http://h/b</loc><lastmod>yesterday-ish</lastmod>'
+           '<priority>high</priority></url>'
+           '<url><loc>http://h/c</loc></url>'
+           '</urlset>')
+    df = spark.createDataFrame([("h", xml)], "host string, xml string")
+    rows = {r.loc: r for r in parse_sitemap(df, keep_cols=["host"]).collect()}
+    assert str(rows["http://h/a"].lastmod) == "2025-02-03"
+    assert rows["http://h/a"].priority == 0.8
+    assert rows["http://h/a"].changefreq == "daily"
+    assert rows["http://h/b"].lastmod is None      # malformed date -> null
+    assert rows["http://h/b"].priority is None     # malformed float -> null
+    assert rows["http://h/c"].priority is None
+    cand = {r.url: r.priority
+            for r in sitemap_candidates(parse_sitemap(df)).collect()}
+    assert cand == {"http://h/a": 0.8, "http://h/b": 0.5, "http://h/c": 0.5}
