@@ -548,6 +548,53 @@ def q_interleaved_spans_stats(spark, sf_dir):
     return stats.join(flat, "doc_id")
 
 
+def q_freshness_priority(spark, sf_dir):
+    """Freshness-decayed frontier priority (north-star scoring:
+    freshness × base priority): sitemap-shaped lastmod dates decay a
+    base priority with a 30-day half-life (crawl/frontier.py
+    freshness_score) — the column the selection top-k orders by."""
+    from news_crawler_spark.crawl.frontier import freshness_score
+
+    docs = _t(spark, sf_dir, "documents")
+    lastmod = F.concat(
+        F.lit("2025-01-"),
+        F.lpad((F.pmod(F.col("doc_id"), F.lit(27)) + 1).cast("string"), 2, "0"),
+    ).cast("date")
+    base = F.pmod(F.col("doc_id"), F.lit(10)) / F.lit(10.0)
+    out = docs.select("doc_id", lastmod.alias("lastmod"),
+                      base.alias("base_priority"))
+    return out.withColumn(
+        "score", freshness_score("base_priority", "lastmod", "2025-02-01"))
+
+
+def q_robots_parse(spark, sf_dir):
+    """robots.txt render→parse round trip (sources/robots.py): one
+    policy body per source host is SYNTHESIZED (a bot-specific group
+    that must be ignored for '*', an inline comment, a conditional
+    Crawl-delay, and a second applicable group whose rules must
+    union), parsed through the native distributed parser, and the
+    oracle recomputes the expected gating rows directly."""
+    from news_crawler_spark.sources.robots import parse_robots
+
+    hosts = _t(spark, sf_dir, "documents").select("source").distinct()
+    body = F.concat(
+        F.lit("# synthetic policy\nUser-agent: otherbot\nDisallow: /bot-"),
+        F.col("source"),
+        F.lit("\n\nUser-agent: *\nDisallow: /priv-"), F.col("source"),
+        F.lit("  # inline\n"),
+        F.when(F.length("source") % 2 == 0,
+               F.concat(F.lit("Crawl-delay: "),
+                        (F.length("source") % 5 + 1).cast("string"),
+                        F.lit("\n"))).otherwise(F.lit("")),
+        F.lit("\nUser-agent: *\nDisallow: /x\n"),
+    )
+    parsed = parse_robots(hosts.select("source", body.alias("body")),
+                          host_col="source")
+    return parsed.select(
+        "host", "crawl_delay",
+        F.array_join("disallow", ",").alias("disallow"))
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental corpus ingestion (the production dedup flow): a new
     batch of documents (odd doc_ids) lands against an existing corpus
@@ -1783,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "sitemap_parse": q_sitemap_parse,
         "incremental_dedup": q_incremental_dedup,
+        "robots_parse": q_robots_parse,
+        "freshness_priority": q_freshness_priority,
         # -- (4) r02-green core, re-attested --
         "training_pipeline": q_training_pipeline,
         "jaccard_token_pairs": q_jaccard_token_pairs,
@@ -1797,9 +1846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": q_salted_join_revenue,
         "table_digest": q_table_digest,
         "dedup_exact": q_dedup_exact,
+        # ---- driver gate window ends at position 50 ----
         "fingerprint": q_fingerprint,
         "sample_stratified": q_sample_stratified,
-        # ---- driver gate window ends at position 50 ----
         "sample_k_per_group": q_sample_k_per_group,
         "vocab_topk": q_vocab_topk,
         "lang_id": q_lang_id,
@@ -2309,6 +2358,28 @@ def oracle_sql() -> dict[str, str]:
                                'brand')[1] AS brand,
                    cardinality(MAP {'brand': p_brand, 'type': p_type}) AS n
             FROM part
+        """,
+        "freshness_priority": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST('2025-01-' ||
+                          lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+                          AS DATE) AS lastmod,
+                     (doc_id % 10) / 10.0 AS base_priority
+              FROM documents)
+            SELECT doc_id, lastmod, base_priority,
+                   round(base_priority * pow(2.0,
+                     -greatest(date_diff('day', lastmod, DATE '2025-02-01'), 0)
+                      / 30.0), 6) AS score
+            FROM t
+        """,
+        "robots_parse": """
+            SELECT DISTINCT source AS host,
+                   CASE WHEN length(source) % 2 = 0
+                        THEN CAST(length(source) % 5 + 1 AS DOUBLE)
+                        ELSE NULL END AS crawl_delay,
+                   '/priv-' || source || ',/x' AS disallow
+            FROM documents
         """,
         "sitemap_parse": """
             SELECT source,

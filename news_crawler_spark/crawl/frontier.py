@@ -34,6 +34,23 @@ from pyspark.sql import functions as F
 N_SALTS = 8
 
 
+def freshness_score(priority_col, lastmod_col, ref_date: str,
+                    half_life_days: float = 30.0) -> F.Column:
+    """The north-rule priority: base priority × freshness decay.
+
+    Exponential half-life decay on document age —
+    ``priority * 2^(-age_days / half_life)`` with age clamped at 0
+    (a future lastmod never boosts past base). Feed sitemap lastmod
+    (sources/sitemap.py) or last-crawl timestamps; the result is the
+    ``priority`` column the selection top-k orders by, so freshness
+    pressure composes with host budgets without any new operator.
+    Rounded to 6 dp for cross-engine replayability."""
+    p = F.col(priority_col) if isinstance(priority_col, str) else priority_col
+    lm = F.col(lastmod_col) if isinstance(lastmod_col, str) else lastmod_col
+    age = F.greatest(F.datediff(F.lit(ref_date).cast("date"), lm), F.lit(0))
+    return F.round(p * F.pow(F.lit(2.0), -age / F.lit(half_life_days)), 6)
+
+
 def pending(frontier: DataFrame, resolved: DataFrame, round_no: int) -> DataFrame:
     """Frontier rows eligible this round.
 

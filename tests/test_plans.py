@@ -156,6 +156,15 @@ def test_repetition_profile_single_generate(spark):
     assert "Expand" in plan or "HashAggregate" in plan  # multi-distinct agg
 
 
+def test_sequence_packing_no_global_window(spark):
+    """Sequence packing's cumulative sum must window per language
+    shard — a global orderBy window (Exchange SinglePartition) funnels
+    the whole corpus through one task."""
+    plan = plan_of(entry_mod.q_sequence_packing(spark, SF_DIR), "simple")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(lang" in plan
+
+
 def test_ivf_assignment_no_shuffle_no_join(spark):
     """The IVF cell assignment must be pure per-row projection over the
     corpus: centroid sims as one literal-array expression, top-nprobe

@@ -126,3 +126,42 @@ def test_parse_sitemap_and_candidates(spark):
     cand = {r.url: r.priority
             for r in sitemap_candidates(parse_sitemap(df)).collect()}
     assert cand == {"http://h/a": 0.8, "http://h/b": 0.5, "http://h/c": 0.5}
+
+
+def test_parse_robots_groups_comments_and_delay(spark):
+    """robots.txt parsing: multi-agent groups, comments, empty
+    Disallow (allow-all, no rule), bot-specific groups ignored for
+    '*', min crawl-delay across applicable groups, comments-only body
+    -> allow-all row, and the HOSTS-table projection."""
+    from news_crawler_spark.sources.robots import parse_robots, robots_to_hosts
+
+    body_a = ("# policy\n"
+              "User-agent: fancybot\n"
+              "Disallow: /only-bot\n"
+              "\n"
+              "User-agent: other\n"
+              "User-agent: *\n"
+              "Disallow: /private  # inline comment\n"
+              "Disallow: /tmp\n"
+              "Crawl-delay: 2.5\n"
+              "\n"
+              "User-agent: *\n"
+              "Disallow: /b\n"
+              "Crawl-delay: 1\n")
+    body_b = "User-agent: *\nDisallow:\n"   # empty Disallow = allow all
+    body_c = "# nothing but comments\n"
+    df = spark.createDataFrame(
+        [("a", body_a), ("b", body_b), ("c", body_c)], "host string, body string")
+    rows = {r.host: r for r in parse_robots(df).collect()}
+    assert rows["a"].disallow == ["/b", "/private", "/tmp"]
+    assert rows["a"].crawl_delay == 1.0        # min across the two * groups
+    assert rows["b"].disallow == [] and rows["b"].crawl_delay is None
+    assert rows["c"].disallow == [] and rows["c"].crawl_delay is None
+
+    hosts = {r.host: r for r in robots_to_hosts(parse_robots(df), budget=5).collect()}
+    assert hosts["c"].crawl_delay == 1.0 and hosts["c"].budget == 5
+    assert hosts["a"].disallow == ["/b", "/private", "/tmp"]
+
+    # the bot-specific group applies when asked for that agent
+    bot = {r.host: r for r in parse_robots(df, agent="FancyBot").collect()}
+    assert "/only-bot" in bot["a"].disallow
