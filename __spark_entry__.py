@@ -548,6 +548,83 @@ def q_interleaved_spans_stats(spark, sf_dir):
     return stats.join(flat, "doc_id")
 
 
+def q_doc_chunking(spark, sf_dir):
+    """Training-window chunking: each document's tokens split into
+    overlapping windows (size 64, stride 48 — the 16-token overlap
+    keeps context across window boundaries), emitting one row per
+    chunk with its token count and content sha256. The token array is
+    staged behind a Generate barrier so the split runs once per doc,
+    not once per chunk (CollapseProject re-inlines staged
+    projections)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    staged = docs.select("doc_id", F.explode(F.array(toks)).alias("_toks"))
+    n = F.size("_toks")
+    n_chunks = F.ceil(n / F.lit(48.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.array_join(F.slice(F.col("_toks"), j * 48 + 1, 64), " "))
+    return (
+        staged.select("doc_id", n.alias("_n"),
+                      F.posexplode(chunks).alias("chunk_idx", "_chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.least(F.lit(64), F.col("_n") - F.col("chunk_idx") * 48)
+            .cast("long").alias("n_tokens"),
+            F.sha2(F.col("_chunk"), 256).alias("chunk_sha"),
+        )
+    )
+
+
+def q_decontamination(spark, sf_dir):
+    """Eval-benchmark decontamination (operators/quality.py
+    contamination_overlap): the benchmark set is a 15-token excerpt of
+    every 50th corpus doc, so those docs MUST flag contaminated while
+    the rest stay clean — per-doc 5-gram overlap counts + fraction."""
+    from news_crawler_spark.operators.quality import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bench = (docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.array_join(F.slice(toks, 6, 15), " ").alias("text")))
+    return contamination_overlap(docs, bench, gram_n=5)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (functions/pii.py): corpus text with planted
+    email / card / IP / phone identifiers is redacted to typed
+    placeholders in precedence order (cards before phones — a 16-digit
+    run must not be half-eaten), and per-kind counts are taken at each
+    rule's point in the chain. Output is the redacted-text sha256 +
+    counts, all scalars, every regex replayed by the oracle."""
+    from news_crawler_spark.functions.pii import pii_counts, pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@ex"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".org card 4111 1111 1111 "),
+        (F.lit(1000) + F.pmod(F.col("doc_id"), F.lit(9000))).cast("string"),
+        F.lit(" ip 10."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".0."), F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+        F.lit(" tel +82 010-"),
+        (F.lit(1000) + F.pmod(F.col("doc_id"), F.lit(9000))).cast("string"),
+        F.lit("-"),
+        (F.lit(1000) + F.pmod(F.col("doc_id") * 7, F.lit(9000))).cast("string"),
+        F.lit(" end"),
+    )
+    d = docs.select("doc_id", planted.alias("text"))
+    counts = pii_counts("text")
+    return d.select(
+        "doc_id",
+        F.sha2(pii_redact("text"), 256).alias("redacted_sha"),
+        *[c.cast("long").alias(f"n_{k}") for k, c in counts.items()],
+    )
+
+
 def q_freshness_priority(spark, sf_dir):
     """Freshness-decayed frontier priority (north-star scoring:
     freshness × base priority): sitemap-shaped lastmod dates decay a
@@ -1832,6 +1909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "robots_parse": q_robots_parse,
         "freshness_priority": q_freshness_priority,
+        "pii_redact": q_pii_redact,
+        "decontamination": q_decontamination,
+        "doc_chunking": q_doc_chunking,
         # -- (4) r02-green core, re-attested --
         "training_pipeline": q_training_pipeline,
         "jaccard_token_pairs": q_jaccard_token_pairs,
@@ -1843,10 +1923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_correlation": q_event_correlation,
         "bigram_collocations": q_bigram_collocations,
         "salted_agg": q_salted_agg,
+        # ---- driver gate window ends at position 50 ----
         "salted_join_revenue": q_salted_join_revenue,
         "table_digest": q_table_digest,
         "dedup_exact": q_dedup_exact,
-        # ---- driver gate window ends at position 50 ----
         "fingerprint": q_fingerprint,
         "sample_stratified": q_sample_stratified,
         "sample_k_per_group": q_sample_k_per_group,
@@ -2358,6 +2438,83 @@ def oracle_sql() -> dict[str, str]:
                                'brand')[1] AS brand,
                    cardinality(MAP {'brand': p_brand, 'type': p_type}) AS n
             FROM part
+        """,
+        "doc_chunking": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(range(0, CAST(ceil(len(toks) / 48.0) AS BIGINT)))
+                       AS chunk_idx
+              FROM t)
+            SELECT doc_id, chunk_idx,
+                   least(64, n - chunk_idx * 48) AS n_tokens,
+                   sha256(array_to_string(
+                     toks[48*chunk_idx+1 : 48*chunk_idx+64], ' ')) AS chunk_sha
+            FROM c
+        """,
+        "decontamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            cg AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) >= 5
+                              THEN list_transform(range(1, len(t) - 3),
+                                     i -> array_to_string(t[i:i+4], ' '))
+                              ELSE [array_to_string(t, ' ')] END) AS gram
+                FROM toks)),
+            btoks AS (
+              SELECT t[6:20] AS t FROM toks WHERE doc_id % 50 = 0),
+            bg AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(CASE WHEN len(t) >= 5
+                              THEN list_transform(range(1, len(t) - 3),
+                                     i -> array_to_string(t[i:i+4], ' '))
+                              ELSE [array_to_string(t, ' ')] END) AS gram
+                FROM btoks)),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+            hits AS (SELECT doc_id, count(*) AS n_hits
+                     FROM cg JOIN bg USING (gram) GROUP BY 1)
+            SELECT s.doc_id, s.n_grams,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   round(coalesce(h.n_hits, 0) / s.n_grams, 6) AS hit_frac,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM sizes s LEFT JOIN hits h USING (doc_id)
+        """,
+        "pii_redact": """
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id || '@ex' || (doc_id % 7) ||
+                     '.org card 4111 1111 1111 ' || (1000 + doc_id % 9000) ||
+                     ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 200) ||
+                     ' tel +82 010-' || (1000 + doc_id % 9000) || '-' ||
+                     (1000 + (doc_id * 7) % 9000) || ' end' AS s0
+              FROM documents),
+            c AS (
+              SELECT doc_id, s0,
+                     regexp_replace(s0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+              FROM t),
+            c2 AS (
+              SELECT *, regexp_replace(s1, '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b', '<CARD>', 'g') AS s2
+              FROM c),
+            c3 AS (
+              SELECT *, regexp_replace(s2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS s3
+              FROM c2),
+            c4 AS (
+              SELECT *, regexp_replace(s3, '\\+?\\d{1,3}[ -]\\d{3,4}[ -]\\d{3,4}(?:[ -]\\d{3,4})?', '<PHONE>', 'g') AS s4
+              FROM c3)
+            SELECT doc_id,
+                   sha256(s4) AS redacted_sha,
+                   CAST(len(regexp_extract_all(s0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(s1, '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b')) AS BIGINT) AS n_card,
+                   CAST(len(regexp_extract_all(s2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(s3, '\\+?\\d{1,3}[ -]\\d{3,4}[ -]\\d{3,4}(?:[ -]\\d{3,4})?')) AS BIGINT) AS n_phone
+            FROM c4
         """,
         "freshness_priority": """
             WITH t AS (

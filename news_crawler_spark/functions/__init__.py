@@ -9,6 +9,7 @@ from news_crawler_spark.functions.ioc import (
     extract_iocs_long,
     valid_ipv4,
 )
+from news_crawler_spark.functions.pii import pii_counts, pii_redact
 from news_crawler_spark.functions.urlops import (
     url_host,
     url_normalize,
@@ -30,6 +31,8 @@ __all__ = [
     "extract_iocs_canonical_long",
     "extract_iocs_long",
     "valid_ipv4",
+    "pii_counts",
+    "pii_redact",
     "url_host",
     "url_normalize",
     "url_origin",

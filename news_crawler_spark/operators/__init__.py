@@ -15,7 +15,11 @@ from news_crawler_spark.operators.dedup import (
     winnowing_fingerprints,
 )
 from news_crawler_spark.operators.linkrank import pagerank
-from news_crawler_spark.operators.quality import bm25_scores, repetition_profile
+from news_crawler_spark.operators.quality import (
+    bm25_scores,
+    contamination_overlap,
+    repetition_profile,
+)
 from news_crawler_spark.operators.rangejoin import interval_join_bucketed
 from news_crawler_spark.operators.sketches import (
     cms_counters,
@@ -40,6 +44,7 @@ from news_crawler_spark.operators.topk import top_k_global, top_k_per_group
 __all__ = [
     "asof_join",
     "bm25_scores",
+    "contamination_overlap",
     "repetition_profile",
     "connected_components",
     "dedup_clusters",

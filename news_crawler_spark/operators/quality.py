@@ -59,6 +59,40 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
     )
 
 
+def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          gram_n: int = 5) -> DataFrame:
+    """Eval-set decontamination (the GPT-3/PaLM n-gram overlap check):
+    per corpus document, how many of its distinct token n-grams appear
+    anywhere in the benchmark set — (doc_id, n_grams, n_hits,
+    hit_frac, contaminated). Training pipelines drop or flag
+    ``contaminated`` docs so held-out benchmarks stay held out.
+
+    Shape: corpus grams come from one Generate + lead() (the dedup
+    family's shingle path — the tokenizer runs once per doc); the
+    benchmark gram set is tiny by definition and broadcasts into the
+    hit join, so the corpus shuffles only on doc_id for the two
+    per-doc aggregates — no corpus-vs-corpus join anywhere."""
+    from news_crawler_spark.operators.dedup import _shingle_rows
+
+    cg = _shingle_rows(corpus, text_col, id_col, gram_n)
+    bg = (_shingle_rows(benchmark, text_col, id_col, gram_n)
+          .select("shingle").dropDuplicates())
+    sizes = cg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (cg.join(F.broadcast(bg), "shingle")
+            .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(
+            F.col(id_col), "n_grams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_grams"), 6)
+            .alias("hit_frac"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def bm25_scores(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", k1: float = 1.2,
                 b: float = 0.75) -> DataFrame:

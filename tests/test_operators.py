@@ -202,6 +202,45 @@ def test_bm25_matches_python_model(spark):
         assert abs(score - want) < 1e-6, (d, term)
 
 
+def test_pii_redact_precedence_and_counts(spark):
+    """Card digits must redact before the phone rule can half-eat
+    them; counts are taken at each rule's point in the chain so a
+    value never double-counts across kinds."""
+    from news_crawler_spark.functions import pii_counts, pii_redact
+
+    text = ("mail a.b+c@ex.co card 4111 1111 1111 1234 "
+            "ip 10.0.0.7 tel +82 010-1234-5678 clean words")
+    df = spark.createDataFrame([(text,)], "text string")
+    counts = pii_counts("text")
+    row = df.select(
+        pii_redact("text").alias("red"),
+        *[v.alias(k) for k, v in counts.items()]).collect()[0]
+    assert row.red == ("mail <EMAIL> card <CARD> "
+                       "ip <IP> tel <PHONE> clean words")
+    assert (row.email, row.card, row.ip, row.phone) == (1, 1, 1, 1)
+
+
+def test_contamination_overlap_planted(spark):
+    """A corpus doc containing a benchmark excerpt must flag
+    contaminated with the exact overlapping-gram count; disjoint docs
+    stay clean."""
+    from news_crawler_spark.operators import contamination_overlap
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different words appear in this one here now")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "quick brown fox jumps over the lazy")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           contamination_overlap(corpus, bench, gram_n=5).collect()}
+    # doc 1: 6 distinct 5-grams; bench has 3 5-grams, all inside doc 1
+    assert got[1].contaminated and got[1].n_hits == 3 and got[1].n_grams == 6
+    assert got[1].hit_frac == 0.5
+    assert not got[2].contaminated and got[2].n_hits == 0
+
+
 def test_url_normalize_rules(spark):
     from news_crawler_spark.functions import url_normalize
 
