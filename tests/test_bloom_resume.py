@@ -107,7 +107,7 @@ def test_compaction_mid_crawl_preserves_semantics(spark, tmp_path):
 
 def test_auto_compaction_long_crawl_preserves_semantics(spark, tmp_path):
     """The round loop triggers compact_frontier automatically on the
-    resolved-in-frontier/pending ratio; a long crawl (60 rounds, well
+    resolved-in-frontier/pending ratio; a long crawl (36 rounds, well
     past frontier exhaustion) with auto-compaction must be
     crawl-order- and seen-set-identical to one with compaction
     disabled, while actually compacting and keeping the frontier table
@@ -116,15 +116,15 @@ def test_auto_compaction_long_crawl_preserves_semantics(spark, tmp_path):
                    compact_ratio=2.0, compact_min_resolved=20)
     seeds = spark.createDataFrame(seed_rows(CFG), "url string, priority double")
     a.init(seeds)
-    a.run(60)
-    assert a.compactions >= 1, "ratio trigger never fired in 60 rounds"
+    a.run(36)
+    assert a.compactions >= 1, "ratio trigger never fired in 36 rounds"
     # the pure-Python CrawlOracle IS the no-compaction reference: exact
     # crawl-order + seen-set equality proves compaction changed nothing
-    oracle60 = CrawlOracle(CFG).run(60)
+    oracle36 = CrawlOracle(CFG).run(36)
     la = sorted((r["round"], r.host, r.seq, r.url) for r in a.crawl_log_df().collect())
-    assert la == sorted(oracle60.crawl_log)
+    assert la == sorted(oracle36.crawl_log)
     assert ({(r.url, r.seen_round) for r in a.url_seen_df().collect()}
-            == set(oracle60.url_seen.items()))
+            == set(oracle36.url_seen.items()))
     # without compaction the frontier holds one row per resolved slot
     # plus pending; compacted it must be strictly below the slot count
     fa = a.frontier.read().count()
@@ -139,7 +139,7 @@ def test_auto_compaction_long_crawl_preserves_semantics(spark, tmp_path):
     a2.resume()
     assert a2._frontier_rows == fa
     a2.run(2)
-    oracle = CrawlOracle(CFG).run(62)
+    oracle = CrawlOracle(CFG).run(38)
     log = sorted((r["round"], r.host, r.seq, r.url)
                  for r in a2.crawl_log_df().collect())
     assert log == sorted(oracle.crawl_log)
