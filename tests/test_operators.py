@@ -260,6 +260,68 @@ def test_url_normalize_rules(spark):
     assert got == [w for _, w in cases]
 
 
+def test_url_normalize_idempotent_property(spark):
+    """Canonicalization must be a projection: normalize(normalize(u))
+    == normalize(u) for arbitrary scheme-case/port/param-order/
+    fragment combinations — otherwise re-crawled URLs hash to new
+    frontier slots on every pass."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from news_crawler_spark.functions import url_normalize
+
+    seg = st.text(alphabet="aBcD09-_", min_size=1, max_size=8)
+    param = st.sampled_from(
+        ["utm_source=x", "a=1", "z=9", "gclid=g", "b=2", "fbclid=f", ""])
+    url = st.builds(
+        lambda sch, h1, h2, port, path, ps, frag:
+            f"{sch}://{h1}.{h2}{port}/{path}?" + "&".join(ps) + frag,
+        st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+        seg, seg,
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        seg,
+        st.lists(param, max_size=4),
+        st.sampled_from(["", "#f", "#x?y=1"]))
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(urls=st.lists(url, min_size=1, max_size=40))
+    def check(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = (df.select(url_normalize("url").alias("n"))
+                .select("n", url_normalize("n").alias("n2")).collect())
+        for r in rows:
+            assert r.n2 == r.n, (r.n, r.n2)
+
+    check()
+
+
+def test_pii_redact_idempotent_property(spark):
+    """Redaction must be idempotent — placeholders contain no digits
+    or '@', so a second pass can never re-match (a pipeline stage that
+    mutates already-clean text corrupts downstream digests)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from news_crawler_spark.functions import pii_redact
+
+    frag = st.sampled_from(
+        ["foo@bar.com", "4111 1111 1111 1111", "10.0.0.1",
+         "+1 555-123-4567", "plain words", "%$#", "a.b@c.d.ee",
+         "999.999.999.999", "x 12 34", "tel:+82 010-1234-5678"])
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(parts=st.lists(frag, min_size=1, max_size=20))
+    def check(parts):
+        df = spark.createDataFrame([(" ".join(parts),)], "text string")
+        row = (df.select(pii_redact("text").alias("r"))
+               .select("r", pii_redact("r").alias("r2")).collect()[0])
+        assert row.r2 == row.r
+
+    check()
+
+
 # ------------------------------------------------------------------ ioc sets
 def test_canonical_vs_asec_ioc_sets(spark):
     """The reference keeps TWO pattern sets that deliberately differ

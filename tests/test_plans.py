@@ -130,6 +130,32 @@ def test_minhash_plan_is_partial_aggregated(spark):
     assert "partial_min" in plan or "merge_min" in plan or "Exchange" in plan
 
 
+def test_no_scale_traps_in_any_contract_query(spark):
+    """Fleet-wide physical-plan guard over the ENTIRE registry: no
+    contract query may plan a CartesianProduct, and every
+    Exchange SinglePartition must be the benign global-aggregate
+    pattern — fed by a partial (Object)HashAggregate so only
+    per-partition partials cross the wire, never raw rows (a
+    SinglePartition feeding a Sort/Window is the one-task funnel that
+    kills a 100 TB job). Guards every FUTURE query too: a new registry
+    entry with either smell fails here before the driver ever sees it."""
+    offenders = {}
+    for name, fn in entry_mod.queries().items():
+        plan = plan_of(fn(spark, SF_DIR), "simple")
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+            continue
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            feeder = next((l for l in lines[i + 1:] if l.strip()), "")
+            if "partial_" not in feeder:
+                offenders[name] = f"SinglePartition fed by: {feeder.strip()[:80]}"
+                break
+    assert not offenders, offenders
+
+
 def test_bm25_plan_partial_aggs_and_broadcast_constants(spark):
     """BM25's tf/dl/df groupBys must partial-aggregate map-side (the
     shuffle carries per-key partials, not raw token rows), and the
