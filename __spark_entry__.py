@@ -548,6 +548,26 @@ def q_interleaved_spans_stats(spark, sf_dir):
     return stats.join(flat, "doc_id")
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """Cross-document boilerplate detection (operators/quality.py
+    boilerplate_profile): documents are given line structure with a
+    sitewide nav line (shared by ALL docs), per-source header/footer
+    lines (shared by every doc of that source), and the unique body —
+    lines in >= 3 distinct docs flag as boilerplate, giving each doc
+    its strip fraction."""
+    from news_crawler_spark.operators.quality import boilerplate_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("head "), F.col("source"), F.lit("\nnav menu home\n"),
+            F.col("text"),
+            F.lit("\ncopyright "), F.col("source"),
+        ).alias("text"))
+    return boilerplate_profile(lined, min_docs=3)
+
+
 def q_doc_chunking(spark, sf_dir):
     """Training-window chunking: each document's tokens split into
     overlapping windows (size 64, stride 48 — the 16-token overlap
@@ -1912,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontamination": q_decontamination,
         "doc_chunking": q_doc_chunking,
+        "boilerplate_lines": q_boilerplate_lines,
         # -- (4) r02-green core, re-attested --
         "training_pipeline": q_training_pipeline,
         "jaccard_token_pairs": q_jaccard_token_pairs,
@@ -1922,8 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_authority": q_pagerank_authority,
         "event_correlation": q_event_correlation,
         "bigram_collocations": q_bigram_collocations,
-        "salted_agg": q_salted_agg,
         # ---- driver gate window ends at position 50 ----
+        "salted_agg": q_salted_agg,
         "salted_join_revenue": q_salted_join_revenue,
         "table_digest": q_table_digest,
         "dedup_exact": q_dedup_exact,
@@ -2438,6 +2459,27 @@ def oracle_sql() -> dict[str, str]:
                                'brand')[1] AS brand,
                    cardinality(MAP {'brand': p_brand, 'type': p_type}) AS n
             FROM part
+        """,
+        "boilerplate_lines": """
+            WITH t AS (
+              SELECT doc_id,
+                     'head ' || source || chr(10) || 'nav menu home' ||
+                     chr(10) || text || chr(10) || 'copyright ' || source
+                       AS text
+              FROM documents),
+            l AS (
+              SELECT DISTINCT doc_id, trim(line) AS line FROM (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM t)
+              WHERE trim(line) <> ''),
+            dc AS (SELECT line, count(*) AS n_docs FROM l GROUP BY 1)
+            SELECT doc_id,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler,
+                   round(CAST(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END)
+                              AS BIGINT) / count(*), 6) AS boiler_frac
+            FROM l JOIN dc USING (line) GROUP BY doc_id
         """,
         "doc_chunking": """
             WITH t AS (

@@ -93,6 +93,43 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
     )
 
 
+def boilerplate_profile(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_docs: int = 3) -> DataFrame:
+    """CCNet-style line-level boilerplate detection: a trimmed line
+    occurring in >= ``min_docs`` DISTINCT documents is boilerplate
+    (nav bars, cookie banners, copyright footers — the cross-document
+    repetition that per-doc repetition stats can't see). Per document:
+    (n_lines, n_boiler, boiler_frac) over its distinct non-empty
+    lines — the drop-or-strip signal CCNet applies before dedup.
+
+    Shape: one Generate (line explode), one distinct, one groupBy on
+    the line (map-side partial count), one equi-join back, one groupBy
+    on the doc — every shuffle keyed on line-hash or doc id, nothing
+    all-pairs."""
+    lines = (
+        df.select(F.col(id_col),
+                  F.explode(F.split(F.col(text_col), "\n")).alias("_raw"))
+        .select(id_col, F.trim("_raw").alias("line"))
+        .filter(F.col("line") != "")
+        .dropDuplicates([id_col, "line"])
+    )
+    doc_counts = lines.groupBy("line").agg(F.count("*").alias("_ndocs"))
+    return (
+        lines.join(doc_counts, "line")
+        .groupBy(id_col).agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("_ndocs") >= min_docs, 1).otherwise(0))
+            .alias("n_boiler"),
+        )
+        .select(
+            F.col(id_col), "n_lines", "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_lines"), 6)
+            .alias("boiler_frac"),
+        )
+    )
+
+
 def bm25_scores(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", k1: float = 1.2,
                 b: float = 0.75) -> DataFrame:

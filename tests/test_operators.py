@@ -260,6 +260,27 @@ def test_url_normalize_rules(spark):
     assert got == [w for _, w in cases]
 
 
+def test_boilerplate_profile_planted(spark):
+    """A line shared by >= min_docs distinct docs flags boilerplate;
+    repeats WITHIN one doc don't count toward the threshold (distinct
+    docs, not occurrences)."""
+    from news_crawler_spark.operators.quality import boilerplate_profile
+
+    df = spark.createDataFrame(
+        [(1, "nav\nunique one\nfooter"),
+         (2, "nav\nunique two\nfooter"),
+         (3, "nav\nunique three\nself\nself\nself"),
+         (4, "all original here")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           boilerplate_profile(df, min_docs=2).collect()}
+    assert got[1].n_lines == 3 and got[1].n_boiler == 2
+    assert got[2].n_boiler == 2
+    # 'self' x3 inside doc 3 is ONE distinct line in ONE doc -> clean
+    assert got[3].n_lines == 3 and got[3].n_boiler == 1  # only 'nav'
+    assert got[4].n_boiler == 0 and got[4].boiler_frac == 0.0
+
+
 def test_url_normalize_idempotent_property(spark):
     """Canonicalization must be a projection: normalize(normalize(u))
     == normalize(u) for arbitrary scheme-case/port/param-order/
