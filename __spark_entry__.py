@@ -548,6 +548,16 @@ def q_interleaved_spans_stats(spark, sf_dir):
     return stats.join(flat, "doc_id")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filter (operators/quality.py
+    lm_cross_entropy): corpus-trained add-one bigram LM, per-doc
+    average negative log-probability — the fluency score training
+    pipelines band-filter on."""
+    from news_crawler_spark.operators.quality import lm_cross_entropy
+
+    return lm_cross_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Cross-document boilerplate detection (operators/quality.py
     boilerplate_profile): documents are given line structure with a
@@ -1933,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "doc_chunking": q_doc_chunking,
         "boilerplate_lines": q_boilerplate_lines,
+        "lm_perplexity": q_lm_perplexity,
         # -- (4) r02-green core, re-attested --
         "training_pipeline": q_training_pipeline,
         "jaccard_token_pairs": q_jaccard_token_pairs,
@@ -1942,8 +1953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         "pagerank_authority": q_pagerank_authority,
         "event_correlation": q_event_correlation,
-        "bigram_collocations": q_bigram_collocations,
         # ---- driver gate window ends at position 50 ----
+        "bigram_collocations": q_bigram_collocations,
         "salted_agg": q_salted_agg,
         "salted_join_revenue": q_salted_join_revenue,
         "table_digest": q_table_digest,
@@ -2459,6 +2470,32 @@ def oracle_sql() -> dict[str, str]:
                                'brand')[1] AS brand,
                    cardinality(MAP {'brand': p_brand, 'type': p_type}) AS n
             FROM part
+        """,
+        "lm_perplexity": """
+            WITH tok AS (
+              SELECT doc_id, w1, row_number() OVER
+                       (PARTITION BY doc_id ORDER BY pos) AS pos
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                         AS w1,
+                       generate_subscripts(
+                         string_split_regex(lower(trim(text)), '\\s+'), 1)
+                         AS pos
+                FROM documents)),
+            bg AS (
+              SELECT doc_id, w1,
+                     lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM tok QUALIFY w2 IS NOT NULL),
+            uni AS (SELECT w1, count(*) AS cu FROM tok GROUP BY 1),
+            big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+            v AS (SELECT count(DISTINCT w1) AS vs FROM tok)
+            SELECT bg.doc_id,
+                   count(*) AS n_bigrams,
+                   round(-avg(ln((big.cb + 1) / (uni.cu + v.vs))), 6)
+                     AS cross_entropy
+            FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+            GROUP BY bg.doc_id
         """,
         "boilerplate_lines": """
             WITH t AS (

@@ -93,6 +93,41 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
     )
 
 
+def lm_cross_entropy(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-style quality scoring (the CCNet filter): train an
+    add-one-smoothed bigram LM on the corpus itself, then score every
+    document by its average negative log-probability
+    ``H = -avg ln((c(w1,w2)+1) / (c(w1)+V))`` — gibberish and
+    word-salad score high, fluent text low; pipelines keep the
+    low-to-middle band. Self-scoring on the training corpus is the
+    deterministic degenerate case; at production scale the count
+    tables come from a held-out reference corpus, same join shape.
+
+    Shape: token and bigram counts are map-side-partial groupBys; the
+    vocab size is a 1-row broadcast; scoring joins each doc bigram to
+    its two count tables on (w1,w2)/(w1) — every shuffle keys on a
+    token, nothing all-pairs, no UDF."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "w1"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bg = (tok.withColumn("w2", F.lead("w1").over(w))
+          .filter(F.col("w2").isNotNull())
+          .select(id_col, "w1", "w2"))
+    uni = tok.groupBy("w1").agg(F.count("*").alias("_cu"))
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
+    vocab = tok.agg(F.countDistinct("w1").alias("_v"))
+    logp = F.log((F.col("_cb") + 1) / (F.col("_cu") + F.col("_v")))
+    return (
+        bg.join(big, ["w1", "w2"]).join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col).agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg(logp), 6).alias("cross_entropy"),
+        )
+    )
+
+
 def boilerplate_profile(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         min_docs: int = 3) -> DataFrame:

@@ -260,6 +260,34 @@ def test_url_normalize_rules(spark):
     assert got == [w for _, w in cases]
 
 
+def test_lm_cross_entropy_matches_python_model(spark):
+    """Add-one bigram LM cross-entropy pinned to a serial Python
+    model: a doc made of the corpus's most repeated bigram must score
+    LOWER (more fluent under the corpus LM) than a doc of one-off
+    transitions."""
+    import math
+    from collections import Counter
+
+    from news_crawler_spark.operators.quality import lm_cross_entropy
+
+    corpus = {1: "a b a b a b", 2: "a b c d", 3: "x y z q"}
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_cross_entropy(df).collect()}
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    uni = Counter(w for t in toks.values() for w in t)
+    big = Counter((t[i], t[i + 1]) for t in toks.values()
+                  for i in range(len(t) - 1))
+    v = len(uni)
+    for d, t in toks.items():
+        lps = [math.log((big[(t[i], t[i + 1])] + 1) / (uni[t[i]] + v))
+               for i in range(len(t) - 1)]
+        want = round(-sum(lps) / len(lps), 6)
+        assert abs(got[d].cross_entropy - want) < 1e-6, d
+        assert got[d].n_bigrams == len(lps)
+    assert got[1].cross_entropy < got[3].cross_entropy
+
+
 def test_boilerplate_profile_planted(spark):
     """A line shared by >= min_docs distinct docs flags boilerplate;
     repeats WITHIN one doc don't count toward the threshold (distinct
