@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "tfidf_bm25",
     "interleaved_spans_stats",
     "minhash_jaccard_est",
+    "lm_perplexity",
 ]
 
 
