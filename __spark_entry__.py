@@ -1018,7 +1018,7 @@ def q_bigram_collocations(spark, sf_dir):
         pair.join(uni.select(F.col("w"), F.col("n_w").alias("n_x")), "w")
         .join(uni.select(F.col("w").alias("w2"),
                          F.col("n_w").alias("n_y")), "w2")
-        .crossJoin(n_total)
+        .crossJoin(F.broadcast(n_total))
         .select("w", "w2", "n_xy", "n_x", "n_y",
                 F.expr("(n_xy * n_total * 1000) div (n_x * n_y)")
                 .alias("lift_milli"))
@@ -2706,12 +2706,14 @@ def oracle_sql() -> dict[str, str]:
                      regexp_extract(url, '\\?([^#]*)', 1) AS query
               FROM u)
             SELECT doc_id, url,
-                   scheme || '://' ||
-                   CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
-                        WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
-                        ELSE host0 END ||
-                   path ||
-                   CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS norm
+                   CASE WHEN scheme = '' THEN trim(url) ELSE
+                     scheme || '://' ||
+                     CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                          WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                          ELSE host0 END ||
+                     path ||
+                     CASE WHEN qn <> '' THEN '?' || qn ELSE '' END
+                   END AS norm
             FROM (
               SELECT *,
                      array_to_string(list_sort(list_filter(

@@ -52,7 +52,10 @@ def url_normalize(col) -> F.Column:
     codegen'd, and every step is replayable by the DuckDB oracle.
     Path is preserved verbatim ('' stays '', no trailing-slash
     guessing): normalization must never merge two URLs a server could
-    treat differently.
+    treat differently. Scheme-less / malformed inputs (no
+    ``scheme://`` prefix) pass through as the trimmed original —
+    otherwise distinct inputs like 'a?x=1' and 'b?x=1' would both
+    collapse to '://?x=1' and share one frontier slot.
     """
     c = F.trim(_c(col))
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -69,10 +72,11 @@ def url_normalize(col) -> F.Column:
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
     ))
     qnorm = F.array_join(kept, "&")
-    return F.concat(
+    normalized = F.concat(
         scheme, F.lit("://"), host, path,
         F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
     )
+    return F.when(scheme == "", c).otherwise(normalized)
 
 
 def url_unquote(col) -> F.Column:

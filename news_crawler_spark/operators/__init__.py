@@ -17,7 +17,9 @@ from news_crawler_spark.operators.dedup import (
 from news_crawler_spark.operators.linkrank import pagerank
 from news_crawler_spark.operators.quality import (
     bm25_scores,
+    boilerplate_profile,
     contamination_overlap,
+    lm_cross_entropy,
     repetition_profile,
 )
 from news_crawler_spark.operators.rangejoin import interval_join_bucketed
@@ -44,7 +46,9 @@ from news_crawler_spark.operators.topk import top_k_global, top_k_per_group
 __all__ = [
     "asof_join",
     "bm25_scores",
+    "boilerplate_profile",
     "contamination_overlap",
+    "lm_cross_entropy",
     "repetition_profile",
     "connected_components",
     "dedup_clusters",

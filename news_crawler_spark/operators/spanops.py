@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 def flatten_text(documents: DataFrame) -> DataFrame:
     """P3 (reference asec.py:97-98 get_text): join all text-bearing
-    span texts in offset order → (doc_id, text)."""
+    span texts in offset order → (doc_id, text).
+
+    A document with NO text-bearing spans flattens to NULL, not '' —
+    "no text" and "empty text" must stay distinguishable, and SQL
+    engines (string_agg over zero rows) agree on NULL, so digests like
+    sha2(text) stay replayable by the DuckDB oracle."""
     ordered = F.array_sort(
         F.col("spans"),
         lambda a, b: F.when(a.getField("offset") < b.getField("offset"), -1)
@@ -25,7 +30,10 @@ def flatten_text(documents: DataFrame) -> DataFrame:
     texts = F.filter(ordered, lambda s: s.getField("text") != "")
     return documents.select(
         "doc_id",
-        F.concat_ws(" ", F.transform(texts, lambda s: s.getField("text"))).alias("text"),
+        F.nullif(
+            F.concat_ws(" ", F.transform(texts, lambda s: s.getField("text"))),
+            F.lit(""),
+        ).alias("text"),
     )
 
 

@@ -254,6 +254,10 @@ def test_url_normalize_rules(spark):
         # all params tracking -> no '?'
         ("http://ex.com/p?utm_a=1&fbclid=2", "http://ex.com/p"),
         ("http://ex.com", "http://ex.com"),  # no path: preserved verbatim
+        # scheme-less / malformed: pass through trimmed, never merged
+        ("a?x=1", "a?x=1"),
+        ("b?x=1", "b?x=1"),
+        ("  /rel/path?utm_a=1  ", "/rel/path?utm_a=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.n for r in df.select(url_normalize("url").alias("n")).collect()]
@@ -459,6 +463,8 @@ DOCS = [
     ("d1", [("title", "hello", "", 0), ("text", "body one", "", 1),
             ("link", "click", "http://x.test/a", 2), ("media", "", "http://x.test/i.png", 3),
             ("text", "body two", "", 4)]),
+    # media-only document: no text-bearing spans at all
+    ("d2", [("media", "", "http://x.test/v.mp4", 0)]),
 ]
 
 
@@ -471,18 +477,24 @@ def _docs_df(spark):
 
 
 def test_flatten_text(spark):
-    got = flatten_text(_docs_df(spark)).collect()[0]
-    assert got.text == "hello body one click body two"
+    got = {r.doc_id: r.text for r in flatten_text(_docs_df(spark)).collect()}
+    assert got["d1"] == "hello body one click body two"
+    # no text-bearing spans -> NULL, not '' (string_agg-over-zero-rows
+    # semantics; keeps sha2 digests oracle-replayable)
+    assert got["d2"] is None
 
 
 def test_document_links(spark):
     got = [(r.kind, r.ref, r.offset) for r in
-           document_links(_docs_df(spark)).orderBy("offset").collect()]
+           document_links(_docs_df(spark))
+           .filter("doc_id = 'd1'").orderBy("offset").collect()]
     assert got == [("link", "http://x.test/a", 2), ("media", "http://x.test/i.png", 3)]
+    d2 = document_links(_docs_df(spark)).filter("doc_id = 'd2'").collect()
+    assert [(r.kind, r.ref) for r in d2] == [("media", "http://x.test/v.mp4")]
 
 
 def test_span_stats(spark):
-    r = span_stats(_docs_df(spark)).collect()[0]
+    r = span_stats(_docs_df(spark)).filter("doc_id = 'd1'").collect()[0]
     assert (r.n_spans, r.n_text, r.n_link, r.n_media) == (5, 2, 1, 1)
     assert r.text_chars == len("hello") + len("body one") + len("click") + len("body two")
 
