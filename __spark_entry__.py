@@ -497,23 +497,15 @@ def q_url_normalize(spark, sf_dir):
                        url_normalize(url).alias("norm"))
 
 
-def q_interleaved_spans_stats(spark, sf_dir):
-    """The north-rule input shape, end to end: build the interleaved
-    text+media document table (doc_id, spans:array<struct<kind,text,
-    media_ref,offset>>) deterministically from documents.text (10-token
-    chunks; every 3rd span is media with a derived media_ref, every
-    7th a link), then run the spans operators over it — per-kind
-    counts + text length (operators/spanops.span_stats, no explode)
-    and the offset-ordered flattened-text sha256 (flatten_text), the
-    engine's span-sequence equality digest.
-
-    The spans array is materialized behind a Generate barrier (explode
-    of a 1-element array) so its construction runs once per doc, not
-    once per consuming expression (CollapseProject re-inlines staged
-    projections)."""
-    from news_crawler_spark.operators import flatten_text, span_stats
-
-    docs = _t(spark, sf_dir, "documents")
+def _interleaved_spans(docs):
+    """Deterministic interleaved text+media spans table — the
+    north-rule input shape (doc_id, spans:array<struct<kind,text,
+    media_ref,offset>>) — built from documents.text: 10-token chunks;
+    every 3rd span is media with a derived media_ref, every 7th a
+    link. The spans array is materialized behind a Generate barrier
+    (explode of a 1-element array) so its construction runs once per
+    doc, not once per consuming expression (CollapseProject re-inlines
+    staged projections)."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     staged = docs.select(
         "doc_id", F.explode(F.array(toks)).alias("_toks"))
@@ -533,8 +525,21 @@ def q_interleaved_spans_stats(spark, sf_dir):
             j.cast("int").alias("offset"),
         ),
     )
-    spans_df = staged.select(
+    return staged.select(
         "doc_id", F.explode(F.array(spans)).alias("spans"))
+
+
+def q_interleaved_spans_stats(spark, sf_dir):
+    """The north-rule input shape, end to end: build the interleaved
+    text+media document table (_interleaved_spans), then run the spans
+    operators over it — per-kind counts + text length
+    (operators/spanops.span_stats, no explode) and the offset-ordered
+    flattened-text sha256 (flatten_text), the engine's span-sequence
+    equality digest."""
+    from news_crawler_spark.operators import flatten_text, span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    spans_df = _interleaved_spans(docs)
     stats = span_stats(spans_df).select(
         "doc_id",
         F.col("n_spans").cast("long").alias("n_spans"),
@@ -546,6 +551,29 @@ def q_interleaved_spans_stats(spark, sf_dir):
     flat = flatten_text(spans_df).select(
         "doc_id", F.sha2(F.col("text"), 256).alias("flat_sha"))
     return stats.join(flat, "doc_id")
+
+
+def q_spans_quality_pipeline(spark, sf_dir):
+    """The interleaved text+media table as a FIRST-CLASS input to the
+    training-data quality ops: build the north-rule spans shape
+    (_interleaved_spans), flatten the text-bearing spans in offset
+    order (operators/spanops.flatten_text — media spans drop, link/
+    title text survives), and feed the flattened text to the
+    Gopher-style repetition profiler (operators/quality.
+    repetition_profile), keeping each doc's media-span count alongside
+    — the per-doc keep/drop signal a multimodal corpus pipeline
+    filters on. Docs whose spans carry no text at all flatten to NULL
+    and drop out (nothing to score)."""
+    from news_crawler_spark.operators import flatten_text, span_stats
+    from news_crawler_spark.operators.quality import repetition_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    spans_df = _interleaved_spans(docs)
+    flat = flatten_text(spans_df)
+    rep = repetition_profile(flat)
+    media = span_stats(spans_df).select(
+        "doc_id", F.col("n_media").cast("long").alias("n_media"))
+    return rep.join(media, "doc_id")
 
 
 def q_lm_perplexity(spark, sf_dir):
@@ -813,6 +841,24 @@ def q_sequence_packing(spark, sf_dir):
                     F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))
         .withColumn("bin_id", F.floor(F.col("offset") / F.lit(4096)))
     )
+
+
+def q_sequence_packing_sharded(spark, sf_dir):
+    """Engine-level sequence packing (operators/packing.pack_sequences):
+    same greedy pack-then-split binning as q_sequence_packing, but the
+    cumsum window partitions on (lang, hash-shard) instead of lang
+    alone — parallelism is |langs| × n_shards regardless of language
+    skew (a monolingual corpus would otherwise pack in ONE task). The
+    shard is sha2-derived (topk.row_salt) so the oracle replays the
+    exact binning."""
+    from news_crawler_spark.operators import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang", "doc_id",
+        token_count("text").cast("long").alias("n_tokens"))
+    return pack_sequences(sized, "n_tokens", 4096,
+                          shard_cols=["lang"], n_shards=8)
 
 
 def q_lang_id(spark, sf_dir):
@@ -1933,8 +1979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_bm25": q_tfidf_bm25,
         "url_normalize": q_url_normalize,
         "interleaved_spans_stats": q_interleaved_spans_stats,
+        "spans_quality_pipeline": q_spans_quality_pipeline,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "sequence_packing": q_sequence_packing,
+        "sequence_packing_sharded": q_sequence_packing_sharded,
         "sitemap_parse": q_sitemap_parse,
         "incremental_dedup": q_incremental_dedup,
         "robots_parse": q_robots_parse,
@@ -2645,6 +2693,28 @@ def oracle_sql() -> dict[str, str]:
                      / 4096.0) AS BIGINT) AS bin_id
             FROM t
         """,
+        "sequence_packing_sharded": """
+            WITH t AS (
+              SELECT lang, doc_id,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents),
+            sh AS (
+              SELECT lang, doc_id, n_tokens,
+                     ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 8 AS shard
+              FROM t),
+            o AS (
+              SELECT lang, doc_id, n_tokens, shard,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang, shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS "offset"
+              FROM sh)
+            SELECT lang, doc_id, n_tokens, shard, "offset",
+                   CAST(floor("offset" / 4096.0) AS BIGINT) AS bin_id
+            FROM o
+        """,
         "quality_repetition": """
             WITH t AS (
               SELECT doc_id,
@@ -2753,6 +2823,53 @@ def oracle_sql() -> dict[str, str]:
                    sha256(string_agg(CASE WHEN sptext <> '' THEN sptext END,
                                      ' ' ORDER BY j)) AS flat_sha
             FROM sp GROUP BY doc_id
+        """,
+        "spans_quality_pipeline": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_chunks
+              FROM t),
+            ch AS (
+              SELECT doc_id, unnest(range(0, n_chunks)) AS j, toks
+              FROM c),
+            sp AS (
+              SELECT doc_id, j,
+                     CASE WHEN j % 3 = 2 THEN ''
+                          ELSE array_to_string(toks[10*j+1 : 10*j+10], ' ')
+                     END AS sptext
+              FROM ch),
+            fl AS (
+              SELECT doc_id,
+                     string_agg(CASE WHEN sptext <> '' THEN sptext END,
+                                ' ' ORDER BY j) AS flat,
+                     count(*) FILTER (j % 3 = 2) AS n_media
+              FROM sp GROUP BY doc_id),
+            tk AS (
+              SELECT doc_id, n_media,
+                     string_split_regex(lower(trim(flat)), '\\s+') AS toks2
+              FROM fl WHERE flat IS NOT NULL),
+            g AS (
+              SELECT doc_id, n_media, toks2,
+                     CASE WHEN len(toks2) >= 3 THEN
+                       list_transform(range(1, len(toks2) - 1),
+                         i -> array_to_string(toks2[i:i+2], ' '))
+                     ELSE [] END AS grams
+              FROM tk)
+            SELECT doc_id,
+                   len(toks2) AS n_words,
+                   len(list_distinct(toks2)) AS uniq_words,
+                   round(1 - len(list_distinct(toks2)) / len(toks2), 6)
+                     AS rep_word_frac,
+                   len(grams) AS n_grams,
+                   CASE WHEN len(grams) > 0
+                     THEN round(1 - len(list_distinct(grams)) / len(grams), 6)
+                     ELSE 0.0 END AS rep_gram_frac,
+                   n_media
+            FROM g
         """,
         "token_modes": """
             SELECT doc_id,

@@ -22,6 +22,7 @@ from news_crawler_spark.operators.quality import (
     lm_cross_entropy,
     repetition_profile,
 )
+from news_crawler_spark.operators.packing import pack_sequences
 from news_crawler_spark.operators.rangejoin import interval_join_bucketed
 from news_crawler_spark.operators.sketches import (
     cms_counters,
@@ -65,6 +66,7 @@ __all__ = [
     "simhash_buckets",
     "winnowing_fingerprints",
     "interval_join_bucketed",
+    "pack_sequences",
     "top_k_global",
     "top_k_per_group",
     "cosine_topk_bruteforce",

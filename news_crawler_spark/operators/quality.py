@@ -107,7 +107,17 @@ def lm_cross_entropy(df: DataFrame, text_col: str = "text",
     Shape: token and bigram counts are map-side-partial groupBys; the
     vocab size is a 1-row broadcast; scoring joins each doc bigram to
     its two count tables on (w1,w2)/(w1) — every shuffle keys on a
-    token, nothing all-pairs, no UDF."""
+    token, nothing all-pairs, no UDF. The unigram join key is
+    Zipf-skewed by construction (every bigram row keys on its FIRST
+    token, so stopwords like "the" concentrate a large fraction of the
+    corpus in single reducers at scale) — it goes through
+    :func:`~news_crawler_spark.operators.topk.salted_join`, which
+    replicates the vocab-sized count table ``n_salts``× and fans the
+    hot token's probe rows across ``n_salts`` tasks; result multiset
+    identical to the plain join, so SQL oracles replay the plain
+    form."""
+    from news_crawler_spark.operators.topk import salted_join
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "w1"))
     w = Window.partitionBy(id_col).orderBy("_pos")
@@ -118,8 +128,10 @@ def lm_cross_entropy(df: DataFrame, text_col: str = "text",
     big = bg.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
     vocab = tok.agg(F.countDistinct("w1").alias("_v"))
     logp = F.log((F.col("_cb") + 1) / (F.col("_cu") + F.col("_v")))
+    scored = salted_join(bg.join(big, ["w1", "w2"]), uni,
+                         key="w1", salt_src=id_col, n_salts=8)
     return (
-        bg.join(big, ["w1", "w2"]).join(uni, "w1")
+        scored
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col).agg(
             F.count("*").alias("n_bigrams"),
@@ -141,7 +153,14 @@ def boilerplate_profile(df: DataFrame, text_col: str = "text",
     Shape: one Generate (line explode), one distinct, one groupBy on
     the line (map-side partial count), one equi-join back, one groupBy
     on the doc — every shuffle keyed on line-hash or doc id, nothing
-    all-pairs."""
+    all-pairs. The join-back keys on the line itself, and hot
+    boilerplate lines ("Subscribe to our newsletter") are by
+    definition the skewed keys — so it goes through
+    :func:`~news_crawler_spark.operators.topk.salted_join` (line-count
+    table replicated ``n_salts``×, hot line's probe rows fanned across
+    salts; result multiset equals the plain join)."""
+    from news_crawler_spark.operators.topk import salted_join
+
     lines = (
         df.select(F.col(id_col),
                   F.explode(F.split(F.col(text_col), "\n")).alias("_raw"))
@@ -151,7 +170,8 @@ def boilerplate_profile(df: DataFrame, text_col: str = "text",
     )
     doc_counts = lines.groupBy("line").agg(F.count("*").alias("_ndocs"))
     return (
-        lines.join(doc_counts, "line")
+        salted_join(lines, doc_counts, key="line", salt_src=id_col,
+                    n_salts=8)
         .groupBy(id_col).agg(
             F.count("*").alias("n_lines"),
             F.sum(F.when(F.col("_ndocs") >= min_docs, 1).otherwise(0))

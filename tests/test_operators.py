@@ -932,3 +932,61 @@ def test_review_edge_cases_salt_null_empty_inputs(spark):
     got = cms_lookup(cms_counters(data, "v", d=2, w=16), q, "v",
                      d=2, w=16).collect()
     assert len(got) == 1 and got[0].cms_est >= 2
+
+
+# ---------------------------------------------------------------- packing
+def test_pack_sequences_matches_serial_packer(spark):
+    """Engine-level packing (operators/packing.pack_sequences) pinned
+    to a serial Python packer: same sha2 shard, same (shard_cols,
+    shard, doc_id)-ordered greedy cumsum, same bins — plus the two
+    invariants: offsets contiguous per shard, and no bin exceeds the
+    budget except via its last (straddling) document."""
+    import hashlib
+
+    from news_crawler_spark.operators import pack_sequences
+
+    budget, n_shards = 50, 4
+    rows = [(f"l{d % 2}", d, 7 + (d * 13) % 40) for d in range(80)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    got = pack_sequences(df, "n_tokens", budget,
+                         shard_cols=["lang"], n_shards=n_shards)
+    got_rows = {r.doc_id: r for r in got.collect()}
+
+    def shard_of(doc_id):
+        return int(hashlib.sha256(str(doc_id).encode()).hexdigest()[:8],
+                   16) % n_shards
+
+    groups = {}
+    for lang, d, n in rows:
+        groups.setdefault((lang, shard_of(d)), []).append((d, n))
+    for (lang, sh), docs in groups.items():
+        off = 0
+        for d, n in sorted(docs):
+            r = got_rows[d]
+            assert (r.lang, r.shard, r.offset, r.bin_id) == \
+                (lang, sh, off, off // budget), d
+            off += n
+    # bin-budget invariant: drop each bin's straddler, rest fits
+    for (lang, sh), docs in groups.items():
+        bins = {}
+        off = 0
+        for d, n in sorted(docs):
+            bins.setdefault(off // budget, []).append((off, n))
+            off += n
+        for b, members in bins.items():
+            non_straddle = [n for off, n in members
+                            if off + n <= (b + 1) * budget]
+            assert sum(non_straddle) <= budget
+
+
+def test_pack_sequences_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from news_crawler_spark.operators import pack_sequences
+
+    df = spark.createDataFrame([("a", 1, 5)],
+                               "lang string, doc_id long, n_tokens long")
+    with _pytest.raises(ValueError):
+        pack_sequences(df, "n_tokens", 0)
+    with _pytest.raises(ValueError):
+        pack_sequences(df, "n_tokens", 10, n_shards=0)

@@ -189,6 +189,12 @@ def test_sequence_packing_no_global_window(spark):
     plan = plan_of(entry_mod.q_sequence_packing(spark, SF_DIR), "simple")
     assert "SinglePartition" not in plan
     assert "hashpartitioning(lang" in plan
+    # engine-level variant: window keys on (lang, hash-shard) so
+    # parallelism survives a monolingual corpus
+    plan2 = plan_of(entry_mod.q_sequence_packing_sharded(spark, SF_DIR),
+                    "simple")
+    assert "SinglePartition" not in plan2
+    assert "hashpartitioning(lang" in plan2 and "shard" in plan2
 
 
 def test_ivf_assignment_no_shuffle_no_join(spark):
@@ -270,5 +276,33 @@ def test_salted_join_spreads_key_across_salt_partitions(spark):
         want = sorted(map(tuple, li.join(part, "l_partkey").select(
             "l_orderkey", "l_partkey", "p_brand").collect()))
         assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_quality_token_joins_are_salted(spark):
+    """The Zipf-skewed hot-key joins in the quality family must carry
+    the salt: lm_cross_entropy's unigram join keys every bigram row on
+    its FIRST token (stopwords concentrate the corpus), and
+    boilerplate_profile's join-back keys on the line (hot boilerplate
+    lines are the skew by definition). With broadcast off, both must
+    shuffle on (token/line, _salt) so the hot key spans n_salts
+    partitions instead of one."""
+    from news_crawler_spark.operators.quality import (
+        boilerplate_profile,
+        lm_cross_entropy,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .select("doc_id", "text"))
+        lm_plan = plan_of(lm_cross_entropy(docs), "simple")
+        assert "_salt" in lm_plan
+        assert "hashpartitioning(w1" in lm_plan and ", _salt" in lm_plan
+        bp_plan = plan_of(boilerplate_profile(docs), "simple")
+        assert "_salt" in bp_plan
+        assert "hashpartitioning(line" in bp_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
