@@ -737,9 +737,13 @@ def q_incremental_dedup(spark, sf_dir):
     (normalized-text fingerprint already in the corpus), ``near_dup``
     (shares a MinHash LSH band with a corpus doc), or ``new`` — plus
     the smallest witnessing corpus doc id. At scale the corpus side is
-    the persisted fingerprint/band tables maintained across ingests;
-    both joins are equi-joins on derived keys (fingerprint, band
-    hash) — nothing rescans corpus text."""
+    the persisted fingerprint/band tables maintained across ingests —
+    that engine-state flow is news_crawler_spark/ingest.py DedupState
+    (SnapshotTable-backed, resumable, idempotent per batch; e2e-pinned
+    to a serial recompute in tests/test_ingest_state.py); this query is
+    its stateless one-shot twin so the verdict join shape stays under
+    the DuckDB oracle. Both joins are equi-joins on derived keys
+    (fingerprint, band hash) — nothing rescans corpus text."""
     from news_crawler_spark.operators.dedup import (
         minhash_band_table, minhash_signatures)
 

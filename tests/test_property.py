@@ -163,3 +163,46 @@ def test_cms_counters_match_python_model(spark, values, w):
             cms_lookup(cms_counters(df, "v", d=d, w=w), q, "v",
                        d=d, w=w).collect()}
     assert all(ests[v] >= n for v, n in truth.items())
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rng_seed=st.integers(0, 2**16))
+def test_embedding_near_dup_multi_seed_recall_rises(spark, rng_seed):
+    """Multi-table sign-LSH recall story (similarity.py
+    embedding_near_dup_pairs docstring): plant pairs at a KNOWN cosine
+    (v = cosθ·u + sinθ·w, w ⊥ u — exact by construction), sweep 1..4
+    independent plane seeds, union the found pairs. Recall must be
+    monotone in the number of seeds (union can only grow) and the
+    4-seed union must beat a single table decisively: per plane a
+    cos=0.96 pair collides w.p. 1-θ/π ≈ 0.91, so one 6-plane table
+    catches ~57% of pairs while four catch ~96%."""
+    from news_crawler_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(rng_seed)
+    dim, n_pairs, cth = 16, 24, 0.96
+    rows, planted = [], set()
+    for i in range(n_pairs):
+        u = rng.normal(size=dim)
+        u /= np.linalg.norm(u)
+        w = rng.normal(size=dim)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        v = cth * u + np.sqrt(1 - cth * cth) * w
+        rows.append((2 * i, [float(x) for x in u]))
+        rows.append((2 * i + 1, [float(x) for x in v]))
+        planted.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    found: set = set()
+    recalls = []
+    for seed in (101, 202, 303, 404):
+        pairs = embedding_near_dup_pairs(
+            df, threshold=0.9, dim=dim, n_planes=6, seed=seed)
+        found |= {(r.id_a, r.id_b) for r in pairs.collect()}
+        recalls.append(len(found & planted) / n_pairs)
+    assert all(b >= a for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] >= 0.7
+    assert recalls[-1] > recalls[0] or recalls[0] == 1.0
