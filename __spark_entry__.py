@@ -1943,69 +1943,16 @@ def _embedding_near_dup_oracle(dim: int = 64, n_planes: int = 6,
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
-    gate evaluates the first 50 entries (r02 checked exactly positions
-    1-50). Order: (1) the 12 entries with no green driver row in any
-    round, (2) the 14 green in r01 but outside r02's window, (3) queries
-    new this round, (4) re-attested r02-green core. Everything past 50
-    already carries a green CORRECTNESS_r02 row."""
+    gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
+    entries whose last driver row is r02 (everything past r03's
+    window edge — two rounds stale, re-attest now), (2) queries new
+    this round, (3) queries whose operator code changed this round
+    after their r03 attestation (url normalizer guard, flatten-NULL,
+    salted quality joins), (4) r03-green queries sharing the edited
+    modules (quality.py) — belt and braces. Every entry past 50
+    carries a green CORRECTNESS_r03 row on code untouched since."""
     return {
-        # -- (1) never driver-green (fixed after r01 / past the window) --
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "embedding_near_dup": q_embedding_near_dup,
-        "dup_clusters": q_dup_clusters,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "range_join": q_range_join,
-        "ivf_ann": q_ivf_ann,
-        "sessionize": q_sessionize,
-        "sliding_window_agg": q_sliding_window_agg,
-        "session_window_agg": q_session_window_agg,
-        "s2_rss_parse": q_s2_rss_parse,
-        "map_ops": q_map_ops,
-        # -- (2) r01-green, slid past r02's 50-entry window --
-        "p2_advisory_parse": q_p2_advisory_parse,
-        "join3_revenue": q_join3_revenue,
-        "asof_join": q_asof_join,
-        "pivot": q_pivot,
-        "cube": q_cube,
-        "percentiles": q_percentiles,
-        "korean_date_parse": q_korean_date_parse,
-        "sid_assignment": q_sid_assignment,
-        "digest_plan": q_digest_plan,
-        "window_funcs": q_window_funcs,
-        "array_ops": q_array_ops,
-        "string_funcs": q_string_funcs,
-        "grouping_sets": q_grouping_sets,
-        "doc_pipeline": q_doc_pipeline,
-        # -- (3) new this round --
-        "ioc_pattern_diff": q_ioc_pattern_diff,
-        "quality_repetition": q_quality_repetition,
-        "tfidf_bm25": q_tfidf_bm25,
-        "url_normalize": q_url_normalize,
-        "interleaved_spans_stats": q_interleaved_spans_stats,
-        "spans_quality_pipeline": q_spans_quality_pipeline,
-        "minhash_jaccard_est": q_minhash_jaccard_est,
-        "sequence_packing": q_sequence_packing,
-        "sequence_packing_sharded": q_sequence_packing_sharded,
-        "sitemap_parse": q_sitemap_parse,
-        "incremental_dedup": q_incremental_dedup,
-        "robots_parse": q_robots_parse,
-        "freshness_priority": q_freshness_priority,
-        "pii_redact": q_pii_redact,
-        "decontamination": q_decontamination,
-        "doc_chunking": q_doc_chunking,
-        "boilerplate_lines": q_boilerplate_lines,
-        "lm_perplexity": q_lm_perplexity,
-        # -- (4) r02-green core, re-attested --
-        "training_pipeline": q_training_pipeline,
-        "jaccard_token_pairs": q_jaccard_token_pairs,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "hll_ndv": q_hll_ndv,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "histogram_quantiles": q_histogram_quantiles,
-        "pagerank_authority": q_pagerank_authority,
-        "event_correlation": q_event_correlation,
-        # ---- driver gate window ends at position 50 ----
+        # -- (1) last attested r02 — rotate back into the window --
         "bigram_collocations": q_bigram_collocations,
         "salted_agg": q_salted_agg,
         "salted_join_revenue": q_salted_join_revenue,
@@ -2047,6 +1994,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_running_sum": q_w_running_sum,
         "dt_trunc_month": q_dt_trunc_month,
         "json_extract": q_json_extract,
+        # -- (2) new this round --
+        "sequence_packing_sharded": q_sequence_packing_sharded,
+        "spans_quality_pipeline": q_spans_quality_pipeline,
+        # -- (3) operator code changed after the r03 attestation --
+        "url_normalize": q_url_normalize,
+        "interleaved_spans_stats": q_interleaved_spans_stats,
+        "lm_perplexity": q_lm_perplexity,
+        "boilerplate_lines": q_boilerplate_lines,
+        # -- (4) r03-green, same modules as this round's edits --
+        "quality_repetition": q_quality_repetition,
+        "decontamination": q_decontamination,
+        "tfidf_bm25": q_tfidf_bm25,
+        # ---- driver gate window ends at position 50 ----
+        # -- r03-green, code untouched since --
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "dup_clusters": q_dup_clusters,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "range_join": q_range_join,
+        "ivf_ann": q_ivf_ann,
+        "sessionize": q_sessionize,
+        "sliding_window_agg": q_sliding_window_agg,
+        "session_window_agg": q_session_window_agg,
+        "s2_rss_parse": q_s2_rss_parse,
+        "map_ops": q_map_ops,
+        "p2_advisory_parse": q_p2_advisory_parse,
+        "join3_revenue": q_join3_revenue,
+        "asof_join": q_asof_join,
+        "pivot": q_pivot,
+        "cube": q_cube,
+        "percentiles": q_percentiles,
+        "korean_date_parse": q_korean_date_parse,
+        "sid_assignment": q_sid_assignment,
+        "digest_plan": q_digest_plan,
+        "window_funcs": q_window_funcs,
+        "array_ops": q_array_ops,
+        "string_funcs": q_string_funcs,
+        "grouping_sets": q_grouping_sets,
+        "doc_pipeline": q_doc_pipeline,
+        "ioc_pattern_diff": q_ioc_pattern_diff,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "sequence_packing": q_sequence_packing,
+        "sitemap_parse": q_sitemap_parse,
+        "incremental_dedup": q_incremental_dedup,
+        "robots_parse": q_robots_parse,
+        "freshness_priority": q_freshness_priority,
+        "pii_redact": q_pii_redact,
+        "doc_chunking": q_doc_chunking,
+        "training_pipeline": q_training_pipeline,
+        "jaccard_token_pairs": q_jaccard_token_pairs,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "hll_ndv": q_hll_ndv,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "histogram_quantiles": q_histogram_quantiles,
+        "pagerank_authority": q_pagerank_authority,
+        "event_correlation": q_event_correlation,
     }
 
 

@@ -151,13 +151,17 @@ class CrawlEngine:
 
     def _commit_lineage(self, round_no: int, scheduled: int, ok: int,
                         errors: int, new_urls: int, bloom_digest: str) -> None:
-        row = [(round_no, scheduled, ok, errors, new_urls,
-                self.frontier.current_snapshot(),
-                self.resolved.current_snapshot(),
-                self.documents.current_snapshot(),
-                bloom_digest,
-                _dt.datetime.now(_dt.timezone.utc).isoformat())]
-        self.lineage.append(self.spark.createDataFrame(row, schemas.LINEAGE))
+        # driver-side write (SnapshotTable.append_rows): one record per
+        # round does not justify scheduling a Spark job — the job/task
+        # round trip was a measurable per-round fixed cost that the
+        # low-core bench level cannot amortize
+        self.lineage.append_rows(
+            [(round_no, scheduled, ok, errors, new_urls,
+              self.frontier.current_snapshot(),
+              self.resolved.current_snapshot(),
+              self.documents.current_snapshot(),
+              bloom_digest,
+              _dt.datetime.now(_dt.timezone.utc).isoformat())])
 
     def resume(self) -> int:
         """Pin all state tables to the last complete lineage row.

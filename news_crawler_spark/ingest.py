@@ -197,7 +197,9 @@ class DedupState:
             "fp")
         self.bands.append(new_bands.select("doc_id", "band_id", "band_hash"))
         seq = len(self.committed_batches())
-        self.lineage.append(self.spark.createDataFrame(
+        # driver-side 1-row commit marker — no Spark job (see
+        # SnapshotTable.append_rows)
+        self.lineage.append_rows(
             [(seq, batch_id,
               self.fingerprints.current_snapshot(),
               self.bands.current_snapshot(),
@@ -205,6 +207,5 @@ class DedupState:
               n_docs,
               counts.get("exact_dup", 0),
               counts.get("near_dup", 0),
-              counts.get("new", 0))],
-            INGEST_LINEAGE))
+              counts.get("new", 0))])
         return verdict_rows.select("doc_id", "verdict", "matched_id")

@@ -110,6 +110,47 @@ class SnapshotTable:
         dirs = self._manifest(parent)["dirs"] if parent >= 0 else []
         return self._publish({"id": sid, "parent": parent, "dirs": [*dirs, path]})
 
+    _PA_TYPES = {
+        "integer": "int32", "long": "int64", "string": "string",
+        "double": "float64", "boolean": "bool_",
+    }
+
+    def append_rows(self, rows: list[tuple]) -> int:
+        """Atomic append of a handful of driver-local rows WITHOUT a
+        Spark job: the data file is written by pyarrow on the driver,
+        then the manifest publishes as usual. This is what a real
+        Iceberg driver does for metadata-sized commits — a lineage row
+        per crawl round is one record, and scheduling a distributed
+        write for it costs more than the write (one full job + task
+        round trip per round, pure fixed overhead at any cluster
+        size). Readers see the same table: ``read()`` projects the
+        declared schema over the parquet file regardless of writer.
+        Only flat int/long/string/double/bool schemas supported (the
+        lineage shapes)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fields = []
+        for f in self.schema.fields:
+            tname = f.dataType.typeName()
+            if tname not in self._PA_TYPES:
+                raise TypeError(
+                    f"append_rows supports flat scalar schemas only; "
+                    f"{f.name} is {tname}")
+            fields.append(pa.field(f.name, getattr(pa, self._PA_TYPES[tname])()))
+        pa_schema = pa.schema(fields)
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        table = pa.table(
+            {f.name: list(c) for f, c in zip(pa_schema, cols)},
+            schema=pa_schema)
+        parent = self.current_snapshot()
+        sid = parent + 1
+        d = os.path.join(self.data_dir, f"snap-{sid:08d}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, os.path.join(d, "part-00000.parquet"))
+        dirs = self._manifest(parent)["dirs"] if parent >= 0 else []
+        return self._publish({"id": sid, "parent": parent, "dirs": [*dirs, d]})
+
     def overwrite(self, df: DataFrame) -> int:
         parent = self.current_snapshot()
         sid = parent + 1
