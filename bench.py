@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "interleaved_spans_stats",
     "minhash_jaccard_est",
     "lm_perplexity",
+    "spans_quality_pipeline",
+    "sequence_packing_sharded",
 ]
 
 
