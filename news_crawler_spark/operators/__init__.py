@@ -19,6 +19,7 @@ from news_crawler_spark.operators.quality import (
     bm25_scores,
     boilerplate_profile,
     contamination_overlap,
+    gopher_gate,
     lm_cross_entropy,
     repetition_profile,
 )
@@ -49,6 +50,7 @@ __all__ = [
     "bm25_scores",
     "boilerplate_profile",
     "contamination_overlap",
+    "gopher_gate",
     "lm_cross_entropy",
     "repetition_profile",
     "connected_components",

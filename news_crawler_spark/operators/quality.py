@@ -185,6 +185,59 @@ def boilerplate_profile(df: DataFrame, text_col: str = "text",
     )
 
 
+def gopher_gate(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                min_words: int = 50, max_words: int = 100_000,
+                min_mwl: float = 3.0, max_mwl: float = 10.0,
+                max_symbol_ratio: float = 0.1,
+                min_alpha_frac: float = 0.8,
+                min_stop_hits: int = 2) -> DataFrame:
+    """Composite Gopher-rules keep/drop gate (Rae et al. 2021, A1.1 —
+    the rule set most web-corpus pipelines start from): word count in
+    [min_words, max_words], mean word length in [min_mwl, max_mwl],
+    symbol-to-word ratio ('#' and '...') <= max_symbol_ratio, >= 80%
+    of words containing an alphabetic character, and at least
+    min_stop_hits distinct common-English stopwords present (the
+    "not keyword soup" check). English-oriented by construction, like
+    the original.
+
+    One codegen'd projection per doc — no explode, no shuffle, no UDF:
+    every signal is an expression over the token array in place, so
+    the gate runs at scan speed and composes in front of the expensive
+    dedup/LSH stages (drop early, shingle less). All ratios are
+    rounded to 6 dp BEFORE thresholding so any SQL engine (the DuckDB
+    oracle) replays the keep decision bit-exactly."""
+    c = F.lower(F.trim(F.col(text_col)))
+    toks = F.split(c, r"\s+")
+    n_words = F.size(toks)
+    chars = F.length(F.regexp_replace(c, r"\s+", ""))
+    mwl = F.round(chars / n_words, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words, 6)
+    symbol_ratio = F.round(
+        F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0)) / n_words, 6)
+    stops = F.array(*[F.lit(w) for w in
+                      ("the", "be", "to", "of", "and",
+                       "that", "have", "with")])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stops))
+    keep = (
+        n_words.between(min_words, max_words)
+        & mwl.between(min_mwl, max_mwl)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
 def bm25_scores(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", k1: float = 1.2,
                 b: float = 0.75) -> DataFrame:

@@ -178,3 +178,31 @@ def test_ingest_exact_dups_skip_shingling(spark, tmp_path):
     got = _got(st.ingest(dup_batch, "dups"))
     assert all(v == "exact_dup" for v, _ in got.values())
     assert st.bands.read().count() == n_bands
+
+
+def test_compact_preserves_verdicts(spark, tmp_path):
+    """Band compaction (min doc_id per band key) must not change any
+    later verdict: ingest b0+b1, compact, then b2's verdicts equal the
+    uncompacted serial model; band rows collapse to unique keys; a
+    trailing compaction is safely discarded by resume()."""
+    want = serial_model()
+    st = DedupState(spark, str(tmp_path / "state"))
+    st.ingest(_df(spark, "b0"), "b0")
+    st.ingest(_df(spark, "b1"), "b1")
+
+    stats = st.compact()
+    assert stats["bands_after"] <= stats["bands_before"]
+    keys = st.bands.read().select("band_id", "band_hash").collect()
+    assert len(keys) == len({(r.band_id, r.band_hash) for r in keys})
+
+    got = _got(st.ingest(_df(spark, "b2"), "b2"))
+    assert got == want["b2"]
+
+    # trailing compaction + crash: resume re-pins to the b2 lineage
+    # row's snapshots — the compaction is discarded, state consistent
+    pre = st.bands.current_snapshot()
+    st.compact()
+    st2 = DedupState(spark, str(tmp_path / "state"))
+    assert st2.resume() == 3
+    assert st2.bands.current_snapshot() == pre
+    assert _got(st2.ingest(_df(spark, "b2"), "b2")) == want["b2"]  # replay

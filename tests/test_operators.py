@@ -990,3 +990,27 @@ def test_pack_sequences_rejects_bad_args(spark):
         pack_sequences(df, "n_tokens", 0)
     with _pytest.raises(ValueError):
         pack_sequences(df, "n_tokens", 10, n_shards=0)
+
+
+def test_gopher_gate_rules(spark):
+    """Each Gopher rule trips independently: word-count floor, mean
+    word length band, symbol ratio, alpha fraction, stopword floor."""
+    from news_crawler_spark.operators import gopher_gate
+
+    good = ("the cat and the dog have fun with all of that stuff "
+            "and they be going to the park every day for fun") * 2
+    df = spark.createDataFrame(
+        [(1, good),
+         (2, "the of and to be"),                       # too few words
+         (3, "aa " * 30 + "the of and to"),             # mwl < 3
+         (4, ("### " * 10) + good),                     # symbol ratio
+         (5, ("123 456 789 " * 12) + "the of and"),     # alpha frac low
+         (6, "alpha beta gamma delta epsilon " * 8)],   # no stopwords
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_gate(df, min_words=20).collect()}
+    assert got[1].keep
+    assert not got[2].keep and got[2].n_words < 20
+    assert not got[3].keep and got[3].mean_word_len < 3
+    assert not got[4].keep and got[4].symbol_word_ratio > 0.1
+    assert not got[5].keep and got[5].alpha_word_frac < 0.8
+    assert not got[6].keep and got[6].n_stop_hits < 2
