@@ -56,6 +56,21 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--http", action="store_true",
                    help="real HTTP fetcher instead of the fixture web")
 
+    g = sub.add_parser(
+        "ingest",
+        help="dedup-classify a parquet document batch against persisted "
+             "fingerprint/band state (news_crawler_spark.ingest.DedupState)")
+    g.add_argument("--state-dir", default=settings.state_dir or None,
+                   help="dedup-state root (env: NCS_STATE_DIR)")
+    g.add_argument("--batch", required=True,
+                   help="parquet path with (doc_id long, text string) rows")
+    g.add_argument("--batch-id", required=True,
+                   help="idempotency key: a committed batch-id replays "
+                        "its stored verdicts instead of re-ingesting")
+    g.add_argument("--cpus", type=int, default=None)
+    g.add_argument("--compact", action="store_true",
+                   help="compact band/fingerprint state after the ingest")
+
     b = sub.add_parser("bench", help="alias for the repo-root bench harness")
 
     args = p.parse_args(argv)
@@ -80,6 +95,32 @@ def main(argv: list[str] | None = None) -> int:
         import bench
 
         bench.main()
+        return 0
+
+    if args.cmd == "ingest":
+        if settings_err is not None:
+            p.error(f"invalid environment settings: {settings_err}")
+        if not args.state_dir:
+            p.error("--state-dir is required (or set NCS_STATE_DIR)")
+        from pyspark.sql import functions as F
+
+        from news_crawler_spark.ingest import DedupState
+        from news_crawler_spark.session import get_spark
+
+        spark = get_spark("ingest-cli", cpus=args.cpus)
+        state = DedupState(spark, args.state_dir)
+        state.resume()  # roll back any torn prior ingest first
+        verdicts = state.ingest(
+            spark.read.parquet(args.batch).select("doc_id", "text"),
+            args.batch_id)
+        counts = {r["verdict"]: r["n"] for r in
+                  verdicts.groupBy("verdict")
+                  .agg(F.count("*").alias("n")).collect()}
+        out = {"batch_id": args.batch_id,
+               "n_docs": sum(counts.values()), **counts}
+        if args.compact:
+            out["compact"] = state.compact()
+        print(json.dumps(out))
         return 0
 
     from news_crawler_spark.crawl import CrawlEngine, SyntheticFetcher

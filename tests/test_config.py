@@ -107,3 +107,53 @@ def test_cli_rejects_out_of_bounds_flags():
     with pytest.raises(SystemExit):
         main(["crawl", "--state-dir", "/tmp/x", "--retry-jitter", "99",
               "--rounds", "0"])
+
+
+def test_cli_ingest_subcommand(spark, tmp_path, capsys):
+    """ingest subcommand: classifies a parquet batch against persisted
+    state, prints verdict counts, replays idempotently, compacts on
+    request."""
+    import json as _json
+
+    from news_crawler_spark import cli
+
+    batch1 = str(tmp_path / "b1.parquet")
+    batch2 = str(tmp_path / "b2.parquet")
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    spark.createDataFrame(
+        [(1, base + "one"), (2, "unrelated text about databases")],
+        "doc_id long, text string").write.parquet(batch1)
+    spark.createDataFrame(
+        [(11, base + "one"), (12, "fresh content here")],
+        "doc_id long, text string").write.parquet(batch2)
+    state = str(tmp_path / "state")
+
+    rc = cli.main(["ingest", "--state-dir", state,
+                   "--batch", batch1, "--batch-id", "b1"])
+    assert rc == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["n_docs"] == 2 and out1["new"] == 2
+
+    rc = cli.main(["ingest", "--state-dir", state,
+                   "--batch", batch2, "--batch-id", "b2", "--compact"])
+    assert rc == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["exact_dup"] == 1 and out2["new"] == 1
+    assert out2["compact"]["bands_after"] <= out2["compact"]["bands_before"]
+
+    # idempotent replay: same batch-id, same counts, no re-ingest
+    rc = cli.main(["ingest", "--state-dir", state,
+                   "--batch", batch2, "--batch-id", "b2"])
+    assert rc == 0
+    out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["exact_dup"] == 1 and out3["new"] == 1
+
+
+def test_cli_ingest_requires_state_dir(monkeypatch):
+    import pytest as _pytest
+
+    from news_crawler_spark import cli
+
+    monkeypatch.delenv("NCS_STATE_DIR", raising=False)
+    with _pytest.raises(SystemExit):
+        cli.main(["ingest", "--batch", "/tmp/x", "--batch-id", "b"])
