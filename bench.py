@@ -426,7 +426,14 @@ def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
             if i >= warmup:  # warm-up slices excluded (see above)
                 pairs.append(round((rh["rate"] / rl["rate"]) / (hi_n / lo_n), 3))
             i += 1
+            max_wall = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WALL",
+                                            "1500"))
             if len(pairs) < max(1, slices - 1):
+                # the wall-clock bound must hold even while the
+                # minimum pair count is still accumulating (a large
+                # warmup would otherwise blow past it unchecked)
+                if time.perf_counter() - t_all > max_wall:
+                    break
                 continue
             # adaptive: the host drifts through noisy regimes; if the
             # best clean pair hasn't cleared the target OR the median
@@ -437,8 +444,6 @@ def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
             # bad-luck run
             bv = best_valid(pairs)
             med = _median([p for p in pairs if p <= 1.0])
-            max_wall = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WALL",
-                                            "1500"))
             if ((bv is not None and bv >= target
                  and med is not None and med >= median_target)
                     or i >= slices + max_extra + (warmup - 1)
@@ -498,7 +503,10 @@ def _interleaved_scaling(lo_n: int, hi_n: int, slices: int = 4) -> dict:
         "scaling_efficiency": eff,
         "scaling_efficiency_median": median_eff,
         "warmup_slices": warmup,
-        "extra_slices_bought": max(0, len(lo_rounds) - slices),
+        # minimum run = warmup slices + (slices-1) pairs; anything past
+        # that is what the adaptive loop actually bought
+        "extra_slices_bought": max(
+            0, len(lo_rounds) - (warmup + max(1, slices - 1))),
         "hw_parse_scaling": round(hw, 3) if hw else None,
         "normalized_efficiency": (round(eff / hw_clamped, 3)
                                   if hw and eff is not None else None),

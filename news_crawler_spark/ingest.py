@@ -174,8 +174,18 @@ class DedupState:
                     .select("doc_id", "verdict", "matched_id"))
 
         id_c, txt = self.id_col, self.text_col
+        # eager localCheckpoint: batch_fp feeds the exact join AND the
+        # merge_insert, new_bands (below) feeds the near join AND the
+        # bands append — without pinning, each second consumer re-runs
+        # the whole fingerprint/shingle/minhash DAG (measured: doubles
+        # ingest cost on a mostly-new batch). NULL text fingerprints to
+        # NULL: such docs carry no content to dedup on — they verdict
+        # 'new' every time (a NULL key never equi-joins) and are kept
+        # OUT of the fingerprint state below so state still grows only
+        # with unique content.
         batch_fp = batch.select(
-            F.col(id_c).alias("doc_id"), fingerprint(txt).alias("fp"))
+            F.col(id_c).alias("doc_id"),
+            fingerprint(txt).alias("fp")).localCheckpoint(eager=True)
         exact = (batch_fp
                  .join(self.fingerprints.read()
                        .select("fp", F.col("doc_id").alias("_efid")),
@@ -191,7 +201,8 @@ class DedupState:
             minhash_signatures(non_exact, txt, "doc_id",
                                self.num_hashes, self.shingle_n,
                                self.hash_fn),
-            self.num_hashes, self.bands_n, "doc_id")
+            self.num_hashes, self.bands_n, "doc_id"
+        ).localCheckpoint(eager=True)
         near = (new_bands
                 .join(self.bands.read()
                       .select(F.col("doc_id").alias("_nfid"),
@@ -223,8 +234,12 @@ class DedupState:
         self.verdicts.append(verdict_rows)
         # first batch to carry a fingerprint wins; within the batch the
         # smallest doc_id is the witness (deterministic)
+        # NULL fps stay out of state: a NULL key never anti-joins, so
+        # every batch would append another (NULL, doc_id) row forever —
+        # breaking compact()'s one-row-per-fp invariant
         self.fingerprints.merge_insert(
-            batch_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+            batch_fp.filter(F.col("fp").isNotNull())
+            .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
             .select("fp", "doc_id"),
             "fp")
         self.bands.append(new_bands.select("doc_id", "band_id", "band_hash"))

@@ -139,6 +139,12 @@ class SnapshotTable:
                     f"{f.name} is {tname}")
             fields.append(pa.field(f.name, getattr(pa, self._PA_TYPES[tname])()))
         pa_schema = pa.schema(fields)
+        for r in rows:
+            if len(r) != len(fields):
+                raise ValueError(
+                    f"append_rows row arity {len(r)} != schema arity "
+                    f"{len(fields)} (extra values would be silently "
+                    f"dropped)")
         cols = list(zip(*rows)) if rows else [[] for _ in fields]
         table = pa.table(
             {f.name: list(c) for f, c in zip(pa_schema, cols)},

@@ -31,12 +31,14 @@ BATCHES = {
         (12, _BASE + "omega ending"),          # near dup of 1
         (13, "brand new content in batch one about bloom filters"),
         (14, "  " + _BASE.upper() + "ALPHA   ENDING "),  # normalized-exact dup of 1
+        (15, None),                            # no text: no content to dedup on
     ],
     "b2": [
         (21, "brand new content in batch one about bloom filters"),  # exact dup of 13
         (22, _BASE + "omega ending twist"),    # near dup of 1/12
         (23, "totally fresh final batch document with nothing shared"),
         (24, "short unique doc three"),        # exact dup of 3
+        (25, None),   # NULL never matches NULL: 'new' again, no state growth
     ],
 }
 
@@ -83,6 +85,9 @@ def serial_model() -> dict[str, dict[int, tuple[str, int | None]]]:
         verdicts = {}
         non_exact = []
         for d, text in rows:
+            if text is None:  # no content: always 'new', never absorbed
+                verdicts[d] = ("new", None)
+                continue
             fp = _fp(text)
             if fp in state_fp:
                 verdicts[d] = ("exact_dup", state_fp[fp])
@@ -93,6 +98,8 @@ def serial_model() -> dict[str, dict[int, tuple[str, int | None]]]:
         # absorb: fingerprints first-batch-wins (min doc_id in batch)
         batch_fp: dict[str, int] = {}
         for d, text in rows:
+            if text is None:
+                continue
             fp = _fp(text)
             batch_fp[fp] = min(batch_fp.get(fp, d), d)
         for fp, d in batch_fp.items():
@@ -122,6 +129,9 @@ def test_ingest_matches_serial_recompute(spark, tmp_path):
         got = _got(st.ingest(_df(spark, bid), bid))
         assert got == want[bid], bid
     assert st.committed_batches() == list(BATCHES)
+    # NULL-text docs never enter the fingerprint state (a NULL key
+    # would re-append every batch and never match anything)
+    assert st.fingerprints.read().filter("fp IS NULL").count() == 0
 
 
 def test_ingest_kill_resume_and_idempotent_replay(spark, tmp_path):
