@@ -1954,6 +1954,73 @@ def _embedding_near_dup_oracle(dim: int = 64, n_planes: int = 6,
         """
 
 
+def q_exact_substr_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span detection
+    (operators/substr.py duplicate_ngram_spans): maximal token spans
+    covered by an 8-gram occurring >= 2 times corpus-wide (Lee et al.
+    2022), k-grams built row-locally, one exchange on the gram hash,
+    one on doc_id. Lifts the reference's whole-article D-family dedup
+    (src/secbot/asec.py) to sub-document granularity."""
+    from news_crawler_spark.operators import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
+def q_hashed_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality gate
+    (operators/classifier.py): sha256-bucketed token weights folded
+    row-locally (zero exchanges), sigmoid score rounded before the
+    keep threshold so the oracle replays the decision."""
+    from news_crawler_spark.operators import hashed_classifier_scores
+
+    return hashed_classifier_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_domain_mixture(spark, sf_dir):
+    """Temperature-scaled domain mixture weights
+    (operators/mixture.py domain_mixture): tokens^0.3 normalized to
+    sampling probabilities + expected token budget per source; one
+    map-side-combinable groupBy plus a 1-row broadcast normalizer."""
+    from news_crawler_spark.operators import domain_mixture
+
+    return domain_mixture(_t(spark, sf_dir, "documents"))
+
+
+def q_cluster_quality_keep(spark, sf_dir):
+    """Quality-aware near-dup retention: within each MinHash-LSH dup
+    cluster (operators/components.py dedup_clusters) keep the longest
+    document (n_chars desc, doc_id asc tie-break) — the 'keep best
+    version' policy real pipelines apply instead of first-wins. The
+    per-cluster argmax is a row_number window over cluster labels
+    (clusters are tiny; the window partitions by canon_id)."""
+    from pyspark.sql import Window
+
+    from news_crawler_spark.operators.components import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, minhash_lsh_candidates(docs))
+    ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("canon_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return ranked.select(
+        "doc_id",
+        "canon_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def q_training_shuffle(spark, sf_dir):
+    """Deterministic seed-keyed global shuffle assignment
+    (operators/mixture.py training_shuffle): 60-bit sha256 key,
+    pmod shard, rank within shard — the reproducible permutation
+    materialized before writing training shards."""
+    from news_crawler_spark.operators import training_shuffle
+
+    return training_shuffle(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2065,6 +2132,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         "pagerank_authority": q_pagerank_authority,
         "event_correlation": q_event_correlation,
+        # -- (5) new after the round-4 window froze: pytest-oracle
+        #    evidence this round, rotate into the window next round --
+        "exact_substr_spans": q_exact_substr_spans,
+        "hashed_quality_classifier": q_hashed_quality_classifier,
+        "domain_mixture": q_domain_mixture,
+        "training_shuffle": q_training_shuffle,
+        "cluster_quality_keep": q_cluster_quality_keep,
     }
 
 
@@ -3305,4 +3379,121 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _embedding_near_dup_oracle(),
         "minhash_jaccard_est": _minhash_jaccard_est_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
+        "exact_substr_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(generate_series(0, len(t) - 8)) AS pos, t
+              FROM toks WHERE len(t) >= 8),
+            occ AS (
+              SELECT doc_id, pos,
+                     ('0x' || substr(sha256(array_to_string(
+                          t[pos+1:pos+8], ' ')), 1, 15))::BIGINT AS gh
+              FROM grams),
+            dup AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY gh) AS c
+              FROM occ),
+            d AS (SELECT doc_id, pos FROM dup WHERE c >= 2),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos - lag(pos) OVER w > 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM d
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            isl2 AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl)
+            SELECT doc_id,
+                   min(pos) AS span_start,
+                   max(pos) + 7 AS span_end,
+                   max(pos) + 8 - min(pos) AS span_tokens
+            FROM isl2 GROUP BY doc_id, island
+        """,
+        "hashed_quality_classifier": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     len(t) AS n_tokens,
+                     CASE WHEN len(t) > 0 THEN round(
+                       1.0 / (1.0 + exp(-(
+                         list_sum(list_transform(t, x ->
+                           ((('0x' || substr(sha256(x), 1, 8))::BIGINT
+                             % 4096) / 4095.0 - 0.5) * 2.0))
+                         / len(t)))), 6)
+                     END AS score
+              FROM toks)
+            SELECT doc_id, n_tokens, score,
+                   coalesce(score >= 0.5, false) AS keep
+            FROM scored
+        """,
+        "domain_mixture": """
+            WITH per_doc AS (
+              SELECT source,
+                     coalesce(len(list_filter(
+                         string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '')), 0) AS n
+              FROM documents),
+            per_domain AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(n) AS BIGINT) AS n_tokens,
+                     pow(sum(n)::DOUBLE, 0.3) AS w
+              FROM per_doc GROUP BY source),
+            tot AS (SELECT sum(w) AS tw FROM per_domain)
+            SELECT source, n_docs, n_tokens,
+                   round(w / tw, 6) AS mixture_weight,
+                   CAST(round(round(w / tw, 6) * 1000000.0, 0) AS BIGINT)
+                     AS expected_tokens
+            FROM per_domain, tot
+        """,
+        # same recursive closure as dup_clusters, then the retention
+        # window: longest doc (n_chars desc, doc_id asc) per cluster
+        "cluster_quality_keep": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_minhash_lsh_oracle()})
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            comp AS (
+              SELECT a AS node, least(a, min(b)) AS comp
+              FROM reach GROUP BY a),
+            lab AS (
+              SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canon_id,
+                     d.n_chars
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+            SELECT doc_id, canon_id, n_chars,
+                   row_number() OVER (PARTITION BY canon_id
+                                      ORDER BY n_chars DESC, doc_id) = 1
+                     AS keep
+            FROM lab
+        """,
+        "training_shuffle": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     ('0x' || substr(sha256(concat_ws(':', 'r4', doc_id)),
+                                     1, 15))::BIGINT AS k
+              FROM documents)
+            SELECT doc_id,
+                   k % 16 AS shard,
+                   row_number() OVER (PARTITION BY k % 16
+                                      ORDER BY k, doc_id) AS shard_pos
+            FROM keyed
+        """,
     }

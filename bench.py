@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "spans_quality_pipeline",
     "sequence_packing_sharded",
     "gopher_gate",
+    "exact_substr_spans",
+    "hashed_quality_classifier",
 ]
 
 

@@ -156,6 +156,39 @@ class DedupState:
         after = self.bands.read().count()
         return {"bands_before": before, "bands_after": after}
 
+    # -- streaming --------------------------------------------------------
+    def ingest_stream(self, stream: DataFrame, checkpoint_dir: str,
+                      batch_prefix: str = "stream", *,
+                      available_now: bool = True):
+        """Run the same ingest as a Structured Streaming sink.
+
+        Each micro-batch is classified and committed through
+        :meth:`ingest` with ``batch_id = f"{batch_prefix}-{epoch}"``.
+        Exactly-once composes from the two halves: Spark's streaming
+        checkpoint (``checkpoint_dir``) guarantees an epoch is
+        *re-delivered* after a crash rather than lost, and ingest's
+        batch_id idempotence turns that redelivery into a no-op replay
+        of the committed verdicts — the standard
+        foreachBatch-plus-idempotent-sink contract, same as the crawl
+        engine's lineage-last commit (SURVEY.md §2.12 T6).
+
+        ``available_now=True`` drains what's currently readable and
+        stops (the batch-orchestrated mode a backfill uses); pass
+        False for a continuously running micro-batch query. Returns
+        the StreamingQuery handle — callers own awaitTermination.
+        """
+
+        def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+            self.ingest(batch_df, f"{batch_prefix}-{epoch_id}")
+
+        writer = (stream.writeStream
+                  .foreachBatch(_sink)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .queryName(f"dedup_ingest_{batch_prefix}"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     # -- ingest -----------------------------------------------------------
     def ingest(self, batch: DataFrame, batch_id: str) -> DataFrame:
         """Classify ``batch`` against the accumulated state, commit its

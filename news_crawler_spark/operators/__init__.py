@@ -2,6 +2,7 @@
 plus the training-data pipeline ops (dedup, similarity, text, media)."""
 
 from news_crawler_spark.operators.asof import asof_join
+from news_crawler_spark.operators.classifier import hashed_classifier_scores
 from news_crawler_spark.operators.components import (
     connected_components,
     dedup_clusters,
@@ -15,6 +16,7 @@ from news_crawler_spark.operators.dedup import (
     winnowing_fingerprints,
 )
 from news_crawler_spark.operators.linkrank import pagerank
+from news_crawler_spark.operators.mixture import domain_mixture, training_shuffle
 from news_crawler_spark.operators.quality import (
     bm25_scores,
     boilerplate_profile,
@@ -38,6 +40,7 @@ from news_crawler_spark.operators.similarity import (
     kmeans_refine,
     lsh_ann_topk,
 )
+from news_crawler_spark.operators.substr import duplicate_ngram_spans
 from news_crawler_spark.operators.spanops import (
     document_links,
     flatten_text,
@@ -47,6 +50,10 @@ from news_crawler_spark.operators.topk import top_k_global, top_k_per_group
 
 __all__ = [
     "asof_join",
+    "hashed_classifier_scores",
+    "domain_mixture",
+    "training_shuffle",
+    "duplicate_ngram_spans",
     "bm25_scores",
     "boilerplate_profile",
     "contamination_overlap",

@@ -1,0 +1,218 @@
+"""Serial-reference tests for the corpus-composition operators
+(operators/substr.py, classifier.py, mixture.py): each Spark result is
+checked against an independent pure-Python implementation of the same
+semantics, plus targeted edge cases (NULL text, short docs,
+within-doc repeats, tie-breaks)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from news_crawler_spark.operators import (
+    domain_mixture,
+    duplicate_ngram_spans,
+    hashed_classifier_scores,
+    training_shuffle,
+)
+
+
+def _toks(text):
+    if text is None:
+        return None
+    return [t for t in text.strip().lower().split() if t]
+
+
+def _sha_long(s: str, start: int, width: int) -> int:
+    h = hashlib.sha256(s.encode()).hexdigest()
+    return int(h[start : start + width], 16)
+
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "a"),
+    # doc 2 repeats doc 1's first 9 tokens -> shared 8-grams
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota OTHER", "en", "a"),
+    # doc 3 repeats an 8-gram within itself, twice, plus filler
+    (3, "x1 x2 x3 x4 x5 x6 x7 x8 filler1 filler2 x1 x2 x3 x4 x5 x6 x7 x8",
+     "en", "b"),
+    (4, "too short for any gram", "en", "b"),
+    (5, None, "en", "b"),
+    (6, "   ", "en", "c"),
+    (7, "unique seven tokens of completely fresh text here today ok",
+     "ko", "c"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string"
+    )
+
+
+def _serial_dup_spans(rows, k=8, min_count=2):
+    occ = {}
+    for doc_id, text, _, _ in rows:
+        t = _toks(text)
+        if not t or len(t) < k:
+            continue
+        for p in range(len(t) - k + 1):
+            g = " ".join(t[p : p + k])
+            occ.setdefault(g, []).append((doc_id, p))
+    covered = {}
+    for g, places in occ.items():
+        if len(places) >= min_count:
+            for doc_id, p in places:
+                covered.setdefault(doc_id, set()).add(p)
+    out = []
+    for doc_id, starts in covered.items():
+        starts = sorted(starts)
+        cur = [starts[0], starts[0]]
+        islands = []
+        for p in starts[1:]:
+            if p - cur[1] > k:
+                islands.append(tuple(cur))
+                cur = [p, p]
+            else:
+                cur[1] = p
+        islands.append(tuple(cur))
+        for s, e in islands:
+            out.append((doc_id, s, e + k - 1, e + k - s))
+    return sorted(out)
+
+
+def test_duplicate_ngram_spans_matches_serial(spark, docs_df):
+    got = sorted(
+        tuple(r)
+        for r in duplicate_ngram_spans(docs_df, k=8).collect()
+    )
+    assert got == _serial_dup_spans(DOCS, k=8)
+    # sanity on the content: docs 1/2 share tokens 0..8 -> two grams
+    # at pos 0,1 merge into span [0, 8]; doc 3's self-repeat covers
+    # both copies of x1..x8
+    by_doc = {}
+    for d, s, e, n in got:
+        by_doc.setdefault(d, []).append((s, e, n))
+    assert by_doc[1] == [(0, 8, 9)]
+    assert by_doc[2] == [(0, 8, 9)]
+    assert (0, 7, 8) in by_doc[3] and (10, 17, 8) in by_doc[3]
+    assert 4 not in by_doc and 5 not in by_doc and 7 not in by_doc
+
+
+def test_duplicate_ngram_spans_min_count(spark, docs_df):
+    # raising min_count to 3 kills the doc1/doc2 pair (each gram
+    # occurs exactly twice) and doc3's self-pair
+    assert duplicate_ngram_spans(docs_df, k=8, min_count=3).count() == 0
+
+
+def _serial_classifier(rows, n_buckets=4096, bias=0.0):
+    out = {}
+    for doc_id, text, _, _ in rows:
+        t = _toks(text)
+        if t is None:
+            out[doc_id] = (None, None, False)
+            continue
+        if not t:
+            out[doc_id] = (0, None, False)
+            continue
+        wsum = 0.0
+        for tok in t:
+            b = _sha_long(tok, 0, 8) % n_buckets
+            wsum += (b / (n_buckets - 1) - 0.5) * 2.0
+        score = round(1.0 / (1.0 + math.exp(-(wsum / len(t) + bias))), 6)
+        out[doc_id] = (len(t), score, score >= 0.5)
+    return out
+
+
+def test_hashed_classifier_matches_serial(spark, docs_df):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+        for r in hashed_classifier_scores(docs_df).collect()
+    }
+    want = _serial_classifier(DOCS)
+    assert set(got) == set(want)
+    for d in want:
+        gn, gs, gk = got[d]
+        wn, ws, wk = want[d]
+        assert gn == wn, d
+        assert gk == wk, d
+        if ws is None:
+            assert gs is None
+        else:
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_domain_mixture_matches_serial(spark, docs_df):
+    rows = {r["source"]: r for r in domain_mixture(docs_df).collect()}
+    counts = {}
+    for _, text, _, src in DOCS:
+        t = _toks(text) or []
+        d, n = counts.get(src, (0, 0))
+        counts[src] = (d + 1, n + len(t))
+    tw = sum(n**0.3 for _, n in counts.values())
+    assert set(rows) == set(counts)
+    total_weight = 0.0
+    for src, (d, n) in counts.items():
+        r = rows[src]
+        assert r["n_docs"] == d and r["n_tokens"] == n
+        w = round(n**0.3 / tw, 6)
+        assert r["mixture_weight"] == pytest.approx(w, abs=1e-9)
+        assert r["expected_tokens"] == round(w * 1_000_000)
+        total_weight += r["mixture_weight"]
+    assert total_weight == pytest.approx(1.0, abs=1e-4)
+
+
+def test_training_shuffle_is_a_permutation(spark, docs_df):
+    rows = training_shuffle(docs_df, n_buckets=4, seed="s").collect()
+    assert len(rows) == len(DOCS)
+    assert {r["doc_id"] for r in rows} == {d for d, *_ in DOCS}
+    # shard assignment replays serially; within-shard positions are
+    # contiguous from 1 in (key, doc_id) order
+    by_shard = {}
+    for r in rows:
+        key = _sha_long(f"s:{r['doc_id']}", 0, 15)
+        assert r["shard"] == key % 4
+        by_shard.setdefault(r["shard"], []).append((key, r["doc_id"], r["shard_pos"]))
+    for shard, members in by_shard.items():
+        members.sort()
+        assert [m[2] for m in members] == list(range(1, len(members) + 1))
+
+
+_WORD = st.sampled_from(["aa", "bb", "cc"])
+_TEXT = st.one_of(
+    st.none(),
+    st.lists(_WORD, min_size=0, max_size=30).map(" ".join),
+)
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=8))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_duplicate_ngram_spans_property(spark, texts):
+    """Generative: tiny alphabet at k=3 forces dense gram collisions
+    (within-doc repeats, cross-doc shares, touching islands) — the
+    Spark result must equal the serial model on every draw."""
+    rows = [(i + 1, t, "en", "s") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = sorted(
+        tuple(r) for r in duplicate_ngram_spans(df, k=3).collect()
+    )
+    assert got == _serial_dup_spans(rows, k=3)
+
+
+def test_training_shuffle_seed_changes_order(spark, docs_df):
+    a = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in training_shuffle(docs_df, n_buckets=4, seed="s1").collect()}
+    b = {r["doc_id"]: (r["shard"], r["shard_pos"])
+         for r in training_shuffle(docs_df, n_buckets=4, seed="s2").collect()}
+    assert a != b  # different permutation...
+    assert set(a) == set(b)  # ...same membership
