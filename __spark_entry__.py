@@ -2021,6 +2021,48 @@ def q_training_shuffle(spark, sf_dir):
     return training_shuffle(_t(spark, sf_dir, "documents"))
 
 
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup semantic deduplication (operators/similarity.py
+    semantic_dedup, Abbas et al. 2023): zero-shuffle IVF cluster
+    assignment (centroids = first 16 vectors, oracle-replayable),
+    within-cell cosine only (one self-equi-join on cell, never
+    all-pairs), drop any vector with a smaller-id same-cell neighbor
+    at rounded cosine >= 0.9. Generalizes the D-family whole-article
+    dedup to embedding space."""
+    from news_crawler_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+def q_quality_weighted_sample(spark, sf_dir):
+    """Score-dependent downsampling (the FineWeb/DCLM recipe): accept
+    each document with probability equal to its hashed-classifier
+    quality score, using a deterministic sha256 uniform draw keyed on
+    doc_id — reproducible end to end, ZERO exchanges (the classifier
+    folds row-locally and the draw is row-local arithmetic; the
+    divisor 2^60 is a power of two, so u = k / 2^60 is exact scaling
+    of an integer both engines round to double identically)."""
+    from news_crawler_spark.operators import hashed_classifier_scores
+
+    scored = hashed_classifier_scores(_t(spark, sf_dir, "documents"))
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("qs:"), F.col("doc_id").cast("string")), 256),
+                1, 15),
+            16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(2 ** 60))
+    )
+    return scored.select(
+        "doc_id",
+        "score",
+        F.round(u, 9).alias("draw"),
+        (F.col("score").isNotNull() & (u < F.col("score"))).alias("keep"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2139,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": q_domain_mixture,
         "training_shuffle": q_training_shuffle,
         "cluster_quality_keep": q_cluster_quality_keep,
+        "semdedup_prune": q_semdedup_prune,
+        "quality_weighted_sample": q_quality_weighted_sample,
     }
 
 
@@ -3483,6 +3527,58 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY n_chars DESC, doc_id) = 1
                      AS keep
             FROM lab
+        """,
+        "semdedup_prune": """
+            WITH cent AS (
+              SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+            ass AS (
+              SELECT id, v, cell FROM (
+                SELECT c.id, c.v, ct.cell,
+                       row_number() OVER (PARTITION BY c.id ORDER BY
+                         round(list_dot_product(c.v, ct.cvec)
+                               / (sqrt(list_dot_product(c.v, c.v))
+                                  * sqrt(list_dot_product(ct.cvec,
+                                                          ct.cvec))), 6)
+                           DESC,
+                         ct.cell) AS rn
+                FROM c CROSS JOIN cent ct) WHERE rn = 1),
+            dropped AS (
+              SELECT DISTINCT a.id
+              FROM ass a JOIN ass b USING (cell)
+              WHERE b.id < a.id
+                AND round(list_dot_product(a.v, b.v)
+                          / (sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(b.v, b.v))), 6)
+                    >= 0.9)
+            SELECT a.id AS vec_id, a.cell, d.id IS NULL AS keep
+            FROM ass a LEFT JOIN dropped d ON a.id = d.id
+        """,
+        "quality_weighted_sample": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) > 0 THEN round(
+                       1.0 / (1.0 + exp(-(
+                         list_sum(list_transform(t, x ->
+                           ((('0x' || substr(sha256(x), 1, 8))::BIGINT
+                             % 4096) / 4095.0 - 0.5) * 2.0))
+                         / len(t)))), 6)
+                     END AS score,
+                     ('0x' || substr(sha256('qs:' || doc_id),
+                                     1, 15))::BIGINT::DOUBLE
+                       / 1152921504606846976.0 AS u
+              FROM toks)
+            SELECT doc_id, score, round(u, 9) AS draw,
+                   coalesce(u < score, false) AS keep
+            FROM scored
         """,
         "training_shuffle": """
             WITH keyed AS (

@@ -39,6 +39,7 @@ from news_crawler_spark.operators.similarity import (
     ivf_topk,
     kmeans_refine,
     lsh_ann_topk,
+    semantic_dedup,
 )
 from news_crawler_spark.operators.substr import duplicate_ngram_spans
 from news_crawler_spark.operators.spanops import (
@@ -50,6 +51,7 @@ from news_crawler_spark.operators.topk import top_k_global, top_k_per_group
 
 __all__ = [
     "asof_join",
+    "semantic_dedup",
     "hashed_classifier_scores",
     "domain_mixture",
     "training_shuffle",

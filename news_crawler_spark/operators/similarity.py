@@ -310,3 +310,66 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
+                   n_centroids: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   round_to: int = 6) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, compare cosine
+    similarity only WITHIN each cluster, and drop every document that
+    has a same-cluster neighbor above ``threshold`` with a smaller id
+    (the deterministic keep-first policy; the paper's keep-farthest-
+    from-centroid variant is one ORDER BY swap away).
+
+    Returns one row per corpus vector: ``(vec_id, cell, keep)``.
+
+    Scale shape (100 TB of embeddings):
+    - Cluster assignment reuses :func:`ivf_assign` — centroids enter
+      as column literals, so assignment is Project/Generate only,
+      ZERO exchanges of the corpus.
+    - The within-cell pair generation is a single self-equi-join on
+      ``cell`` (two shuffles of (id, vec, cell), never all-pairs).
+      Per-cell work is quadratic in cell size — the published
+      algorithm's contract — so ``n_centroids`` must scale with the
+      corpus (SemDeDup uses ~100k clusters for LAION-scale data) to
+      keep cells bounded; cells are also the natural AQE skew-split
+      unit if the embedding space is lumpy.
+    - The verdict is an aggregate (max over neighbors), not a join
+      back to text: documents never rescan.
+
+    Centroids are the deterministic seed variant (first
+    ``n_centroids`` vectors by id, same as :func:`ivf_topk`) so the
+    DuckDB oracle replays the exact cells; similarities are ROUNDED
+    before thresholding so a borderline pair can't flip between
+    engines.
+    """
+    centroids = (
+        corpus.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).cast("int").alias("cell"),
+                F.col(vec_col).alias("cvec"))
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
+    a = assigned.select(F.col(id_col).alias("_ida"),
+                        F.col(vec_col).alias("va"), "cell")
+    b = assigned.select(F.col(id_col).alias("_idb"),
+                        F.col(vec_col).alias("vb"), "cell")
+    sim = F.round(cosine_col("va", "vb"), round_to)
+    # a doc is dropped when ANY smaller-id same-cell neighbor clears
+    # the threshold; bool_or folds that per doc map-side
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .groupBy("_ida")
+        .agg(F.max(sim >= threshold).alias("_dup"))
+        .filter(F.col("_dup"))
+        .select(F.col("_ida").alias("_drop_id"))
+    )
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["_drop_id"], "left")
+        .select(F.col(id_col), F.col("cell"),
+                F.col("_drop_id").isNull().alias("keep"))
+    )

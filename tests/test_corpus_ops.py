@@ -209,6 +209,102 @@ def test_duplicate_ngram_spans_property(spark, texts):
     assert got == _serial_dup_spans(rows, k=3)
 
 
+def _serial_semdedup(vecs, threshold, n_centroids=16):
+    """Independent model of semantic_dedup: assignment = argmax rounded
+    cosine over the first n_centroids vectors (cell-ascending
+    tiebreak), drop = any smaller-id same-cell neighbor at rounded
+    cosine >= threshold."""
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    cell = {}
+    cent_ids = sorted(vecs)[:n_centroids]
+    for vid, v in vecs.items():
+        best = max(
+            ((cos(v, vecs[c]), -c) for c in cent_ids),
+        )
+        cell[vid] = -best[1]
+    out = {}
+    for vid, v in vecs.items():
+        dup = any(
+            o < vid and cell[o] == cell[vid]
+            and cos(v, vecs[o]) >= threshold
+            for o in vecs
+        )
+        out[vid] = (cell[vid], not dup)
+    return out
+
+
+def _planted_vectors():
+    """16 one-hot centroids (ids 0-15, mutually orthogonal) plus four
+    planted vectors: 16 = exact scaled copy of e2, 17 = near-copy of
+    e2 (cos ~0.9987), 18 = equal mix of e4/e5 (cos 0.7071 with both,
+    cell tiebreak -> 4), 19 = 0.8*e7 + 0.6*e1 (cos 0.8 with e7)."""
+    vecs = {i: [1.0 if j == i else 0.0 for j in range(16)]
+            for i in range(16)}
+    vecs[16] = [3.0 if j == 2 else 0.0 for j in range(16)]
+    v17 = [0.0] * 16
+    v17[2], v17[5] = 0.95, 0.05
+    vecs[17] = v17
+    v18 = [0.0] * 16
+    v18[4] = v18[5] = 1.0
+    vecs[18] = v18
+    v19 = [0.0] * 16
+    v19[7], v19[1] = 0.8, 0.6
+    vecs[19] = v19
+    return vecs
+
+
+@pytest.mark.parametrize("threshold", [0.9, 0.6])
+def test_semantic_dedup_planted(spark, threshold):
+    from news_crawler_spark.operators import semantic_dedup
+
+    vecs = _planted_vectors()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: (r["cell"], r["keep"])
+           for r in semantic_dedup(df, threshold=threshold).collect()}
+    want = _serial_semdedup(vecs, threshold)
+    assert got == want
+    # pin the planted story at the default threshold
+    if threshold == 0.9:
+        assert got[16] == (2, False)   # exact copy of e2 -> dropped
+        assert got[17] == (2, False)   # near-copy (cos ~0.9987)
+        assert got[18][1] and got[19][1]  # mixes survive at 0.9
+        assert all(got[i] == (i, True) for i in range(16))
+    else:
+        assert not got[18][1]          # 0.7071 >= 0.6 -> dropped
+        assert not got[19][1]          # 0.8 >= 0.6 -> dropped
+
+
+def test_quality_weighted_sample_serial_replay(spark):
+    """The sampling draw replays serially: u = sha256('qs:'||id)
+    60-bit prefix / 2^60, keep iff u < classifier score (NULL-score
+    docs never kept)."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_quality_weighted_sample(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    kept = 0
+    for r in rows[:200]:
+        u = _sha_long(f"qs:{r['doc_id']}", 0, 15) / float(2 ** 60)
+        assert r["draw"] == pytest.approx(round(u, 9), abs=1e-12)
+        if r["score"] is None:
+            assert r["keep"] is False
+        else:
+            assert r["keep"] == (u < r["score"])
+        kept += bool(r["keep"])
+    # scores hover near 0.5 on random text -> the sample is a real
+    # subset, not all/none
+    assert 0 < kept < len(rows[:200])
+
+
 def test_training_shuffle_seed_changes_order(spark, docs_df):
     a = {r["doc_id"]: (r["shard"], r["shard_pos"])
          for r in training_shuffle(docs_df, n_buckets=4, seed="s1").collect()}
