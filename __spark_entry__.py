@@ -1741,6 +1741,36 @@ def _hll_ndv_oracle(p: int, alias: str) -> str:
         """
 
 
+# The CCNet bigram cross-entropy oracle, shared by lm_perplexity and
+# perplexity_buckets (which nests it as its scoring CTE).
+_LM_CE_SQL = """
+            WITH tok AS (
+              SELECT doc_id, w1, row_number() OVER
+                       (PARTITION BY doc_id ORDER BY pos) AS pos
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                         AS w1,
+                       generate_subscripts(
+                         string_split_regex(lower(trim(text)), '\\s+'), 1)
+                         AS pos
+                FROM documents)),
+            bg AS (
+              SELECT doc_id, w1,
+                     lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM tok QUALIFY w2 IS NOT NULL),
+            uni AS (SELECT w1, count(*) AS cu FROM tok GROUP BY 1),
+            big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+            v AS (SELECT count(DISTINCT w1) AS vs FROM tok)
+            SELECT bg.doc_id,
+                   count(*) AS n_bigrams,
+                   round(-avg(ln((big.cb + 1) / (uni.cu + v.vs))), 6)
+                     AS cross_entropy
+            FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+            GROUP BY bg.doc_id
+        """
+
+
 def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8,
                         shingle_n: int = 3) -> str:
     rows = num_hashes // bands
@@ -2063,6 +2093,18 @@ def q_quality_weighted_sample(spark, sf_dir):
     )
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity banding per language
+    (operators/quality.py perplexity_buckets, Wenzek et al. 2020):
+    tercile cuts from a fixed-width histogram with integer-rank
+    thresholds — windows only over the <=64-row-per-lang histogram,
+    never a global ntile — and band-by-bin comparison against the
+    broadcast cuts, so the decision is engine-exact."""
+    from news_crawler_spark.operators.quality import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2183,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_quality_keep": q_cluster_quality_keep,
         "semdedup_prune": q_semdedup_prune,
         "quality_weighted_sample": q_quality_weighted_sample,
+        "perplexity_buckets": q_perplexity_buckets,
     }
 
 
@@ -2659,32 +2702,7 @@ def oracle_sql() -> dict[str, str]:
                    cardinality(MAP {'brand': p_brand, 'type': p_type}) AS n
             FROM part
         """,
-        "lm_perplexity": """
-            WITH tok AS (
-              SELECT doc_id, w1, row_number() OVER
-                       (PARTITION BY doc_id ORDER BY pos) AS pos
-              FROM (
-                SELECT doc_id,
-                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
-                         AS w1,
-                       generate_subscripts(
-                         string_split_regex(lower(trim(text)), '\\s+'), 1)
-                         AS pos
-                FROM documents)),
-            bg AS (
-              SELECT doc_id, w1,
-                     lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-              FROM tok QUALIFY w2 IS NOT NULL),
-            uni AS (SELECT w1, count(*) AS cu FROM tok GROUP BY 1),
-            big AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
-            v AS (SELECT count(DISTINCT w1) AS vs FROM tok)
-            SELECT bg.doc_id,
-                   count(*) AS n_bigrams,
-                   round(-avg(ln((big.cb + 1) / (uni.cu + v.vs))), 6)
-                     AS cross_entropy
-            FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
-            GROUP BY bg.doc_id
-        """,
+        "lm_perplexity": _LM_CE_SQL,
         "boilerplate_lines": """
             WITH t AS (
               SELECT doc_id,
@@ -3527,6 +3545,38 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY n_chars DESC, doc_id) = 1
                      AS keep
             FROM lab
+        """,
+        "perplexity_buckets": f"""
+            WITH ce AS ({_LM_CE_SQL}),
+            lab AS (
+              SELECT ce.doc_id, d.lang, ce.cross_entropy,
+                     CAST(least(greatest(
+                         floor(ce.cross_entropy / 0.25), 0), 63) AS INT)
+                       AS bin
+              FROM ce JOIN documents d USING (doc_id)),
+            hist AS (
+              SELECT lang, bin, count(*) AS cnt FROM lab GROUP BY 1, 2),
+            cum AS (
+              SELECT lang, bin,
+                     sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(cnt) OVER (PARTITION BY lang) AS n
+              FROM hist),
+            cuts AS (
+              SELECT lang,
+                     min(CASE WHEN pct = 33 THEN cutbin END) AS c33,
+                     min(CASE WHEN pct = 67 THEN cutbin END) AS c67
+              FROM (
+                SELECT lang, pct, min(bin) AS cutbin
+                FROM cum CROSS JOIN (SELECT unnest([33, 67]) AS pct) p
+                WHERE cum >= (pct * n + 99) // 100
+                GROUP BY 1, 2)
+              GROUP BY lang)
+            SELECT lab.doc_id, lab.lang, lab.cross_entropy,
+                   CASE WHEN bin <= c33 THEN 'head'
+                        WHEN bin <= c67 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM lab JOIN cuts USING (lang)
         """,
         "semdedup_prune": """
             WITH cent AS (

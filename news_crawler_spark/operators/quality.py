@@ -276,3 +276,76 @@ def bm25_scores(df: DataFrame, text_col: str = "text",
         F.col(id_col), "term", "tf", "df",
         F.round(score, 6).alias("score"),
     )
+
+
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", lang_col: str = "lang",
+                       lo: float = 0.0, hi: float = 16.0,
+                       n_bins: int = 64) -> DataFrame:
+    """CCNet-style perplexity banding: split each language's documents
+    into head / middle / tail terciles of the corpus-LM cross-entropy
+    (CCNet keeps head+middle and drops the tail; Wenzek et al. 2020).
+
+    The tercile cuts are NOT a global ntile — that would be a
+    single-partition window over the whole corpus. Instead the scores
+    histogram into ``n_bins`` fixed-width bins (row-local integer
+    arithmetic), the per-language cut BINS fall out of a cumulative
+    window over the aggregated histogram (≤ n_bins rows per language,
+    the same integer-rank pattern as
+    :func:`~news_crawler_spark.operators.sketches.histogram_quantiles`),
+    and each document is banded by comparing its integer bin to the
+    broadcast cut bins. Banding error is ≤ one bin width — documents
+    sharing a bin always share a band, which is exactly what makes the
+    decision engine-exact: bins and rank thresholds
+    ``(p·N + 99) div 100`` are pure integer arithmetic, and the bin of
+    a rounded score is identical in every engine because
+    ``width = 0.25`` is a power of two (``score / width`` is exact
+    double scaling, no rounding).
+
+    Returns ``(doc_id, lang, cross_entropy, ppl_bucket)`` for every
+    document :func:`lm_cross_entropy` scores (docs with ≥ 1 bigram).
+
+    Scale shape: one doc-keyed equi-join to attach ``lang``, one
+    map-side-combinable groupBy for the histogram, windows only over
+    the tiny histogram, and a broadcast join of the 1-row-per-language
+    cuts back onto the scored table. Nothing new shuffles the corpus.
+    """
+    width = (hi - lo) / n_bins
+    ce = lm_cross_entropy(df, text_col, id_col).join(
+        df.select(id_col, lang_col), id_col)
+    binned = ce.withColumn(
+        "_bin",
+        F.least(
+            F.greatest(
+                F.floor((F.col("cross_entropy") - lo) / width), F.lit(0)),
+            F.lit(n_bins - 1),
+        ).cast("int"),
+    )
+    hist = binned.groupBy(lang_col, "_bin").agg(F.count("*").alias("cnt"))
+    w = (Window.partitionBy(lang_col).orderBy("_bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wn = Window.partitionBy(lang_col)
+    cum = (hist.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(wn)))
+    pcts = F.explode(F.array(F.lit(33), F.lit(67))).alias("pct")
+    cuts = (
+        cum.select(lang_col, "_bin", "cum", "n", pcts)
+        .where(F.col("cum") >= F.expr("(pct * n + 99) div 100"))
+        .groupBy(lang_col, "pct").agg(F.min("_bin").alias("cutbin"))
+        .groupBy(lang_col).agg(
+            F.min(F.when(F.col("pct") == 33, F.col("cutbin"))).alias("_c33"),
+            F.min(F.when(F.col("pct") == 67, F.col("cutbin"))).alias("_c67"),
+        )
+    )
+    return (
+        binned.join(F.broadcast(cuts), lang_col)
+        .select(
+            id_col,
+            lang_col,
+            "cross_entropy",
+            F.when(F.col("_bin") <= F.col("_c33"), F.lit("head"))
+            .when(F.col("_bin") <= F.col("_c67"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )

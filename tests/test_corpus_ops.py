@@ -305,6 +305,46 @@ def test_quality_weighted_sample_serial_replay(spark):
     assert 0 < kept < len(rows[:200])
 
 
+def test_perplexity_buckets_cut_logic(spark):
+    """Serial replay of the banding stage: given the engine's
+    cross-entropy scores, the per-language cut bins must be the
+    minimal bins whose cumulative count clears the integer-rank
+    thresholds ceil(33n/100) / ceil(67n/100), and every document must
+    be banded by its own bin against those cuts."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_perplexity_buckets(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        b = min(max(math.floor(r["cross_entropy"] / 0.25), 0), 63)
+        by_lang.setdefault(r["lang"], []).append((b, r["ppl_bucket"]))
+    for lang, members in by_lang.items():
+        n = len(members)
+        counts = {}
+        for b, _ in members:
+            counts[b] = counts.get(b, 0) + 1
+        cuts = {}
+        for pct in (33, 67):
+            need = (pct * n + 99) // 100
+            cum = 0
+            for b in sorted(counts):
+                cum += counts[b]
+                if cum >= need:
+                    cuts[pct] = b
+                    break
+        for b, bucket in members:
+            want = ("head" if b <= cuts[33]
+                    else "middle" if b <= cuts[67] else "tail")
+            assert bucket == want, (lang, b, bucket, want)
+        # cumulative coverage: head clears the 33% rank, head+middle
+        # clears 67% (bin granularity can only overshoot, never under)
+        n_head = sum(1 for _, bk in members if bk == "head")
+        n_mid = sum(1 for _, bk in members if bk == "middle")
+        assert n_head >= (33 * n + 99) // 100
+        assert n_head + n_mid >= (67 * n + 99) // 100
+
+
 def test_training_shuffle_seed_changes_order(spark, docs_df):
     a = {r["doc_id"]: (r["shard"], r["shard_pos"])
          for r in training_shuffle(docs_df, n_buckets=4, seed="s1").collect()}
