@@ -2105,6 +2105,33 @@ def q_perplexity_buckets(spark, sf_dir):
     return perplexity_buckets(_t(spark, sf_dir, "documents"))
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4 heuristic cleaning (operators/quality.py c4_clean, Raffel
+    et al. 2020 §2.2): documents are given C4-shaped line structure —
+    a nav line that fails both the terminal-punctuation and the
+    "javascript" badword rule, a real sentence, the body with a
+    terminal period, and (on a deterministic doc_id slice) a
+    "lorem ipsum" line / a curly-brace config line that poison the
+    whole document — then line-filtered and doc-gated, returning each
+    doc's kept-line count, keep verdict, and cleaned-text sha."""
+    from news_crawler_spark.operators.quality import c4_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Home | nav | javascript required\n"),
+            F.lit("This document from "), F.col("source"),
+            F.lit(" has a real sentence.\n"),
+            F.col("text"), F.lit("."),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("\nlorem ipsum dolor sit")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("\nvar cfg = { a: 1 };")).otherwise(F.lit("")),
+        ).alias("text"))
+    return c4_clean(lined, min_words_per_line=3, min_kept_lines=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2226,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": q_semdedup_prune,
         "quality_weighted_sample": q_quality_weighted_sample,
         "perplexity_buckets": q_perplexity_buckets,
+        "c4_line_filter": q_c4_line_filter,
     }
 
 
@@ -3641,5 +3669,44 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY k % 16
                                       ORDER BY k, doc_id) AS shard_pos
             FROM keyed
+        """,
+        "c4_line_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     'Home | nav | javascript required' || chr(10) ||
+                     'This document from ' || source ||
+                     ' has a real sentence.' || chr(10) ||
+                     text || '.' ||
+                     CASE WHEN doc_id % 7 = 0
+                          THEN chr(10) || 'lorem ipsum dolor sit'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 5 = 0
+                          THEN chr(10) || 'var cfg = { a: 1 };'
+                          ELSE '' END AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id, lower(text) AS lt,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS ls
+              FROM t),
+            k AS (
+              SELECT doc_id, lt, len(ls) AS n_lines,
+                     list_filter(ls, l ->
+                       l[-1] IN ('.', '!', '?', '"')
+                       AND len(list_filter(
+                             string_split_regex(l, '\\s+'),
+                             w -> w <> '')) >= 3
+                       AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM s)
+            SELECT doc_id, n_lines,
+                   CAST(len(kept) AS INT) AS n_kept,
+                   (len(kept) >= 2
+                    AND NOT contains(lt, 'lorem ipsum')
+                    AND NOT contains(lt, '{')) AS keep,
+                   CASE WHEN len(kept) > 0
+                        THEN sha256(array_to_string(kept, chr(10)))
+                   END AS clean_sha
+            FROM k
         """,
     }

@@ -20,6 +20,7 @@ from news_crawler_spark.operators.mixture import domain_mixture, training_shuffl
 from news_crawler_spark.operators.quality import (
     bm25_scores,
     boilerplate_profile,
+    c4_clean,
     perplexity_buckets,
     contamination_overlap,
     gopher_gate,
@@ -58,6 +59,7 @@ __all__ = [
     "training_shuffle",
     "duplicate_ngram_spans",
     "bm25_scores",
+    "c4_clean",
     "perplexity_buckets",
     "boilerplate_profile",
     "contamination_overlap",

@@ -349,3 +349,66 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
             .alias("ppl_bucket"),
         )
     )
+
+
+def c4_clean(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", min_words_per_line: int = 3,
+             min_kept_lines: int = 2,
+             line_badwords: tuple = ("javascript",),
+             doc_badwords: tuple = ("lorem ipsum", "{")) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020, §2.2): keep a
+    line only if it ends in terminal punctuation, has at least
+    ``min_words_per_line`` words, and carries no line-level badword
+    (C4 drops "javascript" lines); drop the whole document if any
+    doc-level badword appears ("lorem ipsum", a curly brace) or if
+    fewer than ``min_kept_lines`` lines survive. Output per doc:
+    ``n_lines``, ``n_kept``, ``keep``, and ``clean_sha`` — the sha256
+    of the surviving lines re-joined in order (NULL when nothing
+    survives), so a downstream writer can verify the cleaned text
+    without this operator materializing it twice.
+
+    Scale shape: pure per-row expressions — split / filter / sha over
+    array HOFs, ZERO shuffles and no Python. The two Generate
+    barriers (explode of a 1-element array) stage the line array and
+    the kept-line array so each filter lambda runs once per doc, not
+    once per consumer (CollapseProject re-inlines staged projections
+    — the HOF-recompute trap, see ivf_assign).
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""))
+    staged = df.select(
+        id_col,
+        F.explode(F.array(F.struct(
+            lines.alias("ls"),
+            F.lower(F.col(text_col)).alias("lt")))).alias("_s"))
+
+    def line_ok(l):
+        terminal = F.substring(l, -1, 1).isin(".", "!", "?", '"')
+        words = F.size(
+            F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
+        ok = terminal & (words >= min_words_per_line)
+        low = F.lower(l)
+        for bw in line_badwords:
+            ok = ok & ~low.contains(bw)
+        return ok
+
+    staged2 = staged.select(
+        id_col,
+        F.col("_s.lt").alias("_lt"),
+        F.size("_s.ls").alias("n_lines"),
+        F.explode(F.array(F.filter(F.col("_s.ls"), line_ok))).alias("_kept"))
+
+    doc_bad = F.lit(False)
+    for bw in doc_badwords:
+        doc_bad = doc_bad | F.col("_lt").contains(bw)
+    n_kept = F.size("_kept")
+    return staged2.select(
+        id_col,
+        "n_lines",
+        n_kept.alias("n_kept"),
+        ((n_kept >= min_kept_lines) & ~doc_bad).alias("keep"),
+        F.when(n_kept > 0,
+               F.sha2(F.array_join(F.col("_kept"), "\n"), 256))
+        .alias("clean_sha"),
+    )

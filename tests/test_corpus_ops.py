@@ -352,3 +352,43 @@ def test_training_shuffle_seed_changes_order(spark, docs_df):
          for r in training_shuffle(docs_df, n_buckets=4, seed="s2").collect()}
     assert a != b  # different permutation...
     assert set(a) == set(b)  # ...same membership
+
+
+def test_c4_clean_rules(spark):
+    from news_crawler_spark.operators import c4_clean
+
+    rows = [
+        # 2 good lines -> kept, keep=True; nav line dropped (no
+        # terminal punct AND badword)
+        (1, "nav menu javascript\nThis is a real sentence.\n"
+            "Another proper line ends here!"),
+        # only 1 good line -> keep=False (min_kept_lines=2)
+        (2, "short.\nOne good line survives today."),
+        # doc-level lorem ipsum -> keep=False even with 2 good lines
+        (3, "This is a real sentence.\nAnother proper line ends here!\n"
+            "lorem ipsum dolor"),
+        # curly brace poisons the doc
+        (4, "This is a real sentence.\nAnother proper line ends here!\n"
+            "var x = { a: 1 };"),
+        # line fails the word floor ("Too short." = 2 words)
+        (5, "Too short.\nBut this line is long enough honestly."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["keep"] is True
+    # kept lines re-joined in original order
+    want = hashlib.sha256(
+        b"This is a real sentence.\nAnother proper line ends here!"
+    ).hexdigest()
+    assert out[1]["clean_sha"] == want
+
+    assert out[2]["n_kept"] == 1 and out[2]["keep"] is False
+    assert out[3]["n_kept"] == 2 and out[3]["keep"] is False
+    assert out[4]["keep"] is False
+    assert out[5]["n_kept"] == 1 and out[5]["keep"] is False
+    # "short." has 1 word -> dropped by the word floor; sha is the
+    # surviving line alone
+    assert out[2]["clean_sha"] == hashlib.sha256(
+        b"One good line survives today.").hexdigest()
