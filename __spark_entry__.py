@@ -2132,6 +2132,30 @@ def q_c4_line_filter(spark, sf_dir):
     return c4_clean(lined, min_words_per_line=3, min_kept_lines=2)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """First-wins paragraph-level exact dedup (operators/paragraphs.py
+    paragraph_dedup — RefinedWeb/Dolma-style sub-document pass):
+    documents get paragraph structure with a corpus-wide subscribe
+    blurb, per-source about/copyright paragraphs, and the unique body;
+    the earliest (doc_id, pos) occurrence of each paragraph survives,
+    later copies strip, and each doc reports its surviving-character
+    ratio plus the sha of its cleaned text."""
+    from news_crawler_spark.operators import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    parad = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("Subscribe to our newsletter for updates"),
+            F.concat(F.lit("About "), F.col("source"),
+                     F.lit(" publication")),
+            F.col("text"),
+            F.concat(F.lit("Copyright 2026 "), F.col("source")),
+        ).alias("text"))
+    return paragraph_dedup(parad)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2254,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_weighted_sample": q_quality_weighted_sample,
         "perplexity_buckets": q_perplexity_buckets,
         "c4_line_filter": q_c4_line_filter,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -3708,5 +3733,46 @@ def oracle_sql() -> dict[str, str]:
                         THEN sha256(array_to_string(kept, chr(10)))
                    END AS clean_sha
             FROM k
+        """,
+        "paragraph_dedup": """
+            WITH t AS (
+              SELECT doc_id,
+                     'Subscribe to our newsletter for updates' ||
+                     chr(10) || chr(10) ||
+                     'About ' || source || ' publication' ||
+                     chr(10) || chr(10) || text || chr(10) || chr(10) ||
+                     'Copyright 2026 ' || source AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split(text, chr(10) || chr(10)),
+                       x -> trim(x)), x -> x <> '') AS ls
+              FROM t),
+            p AS (
+              SELECT doc_id, u.pos AS pos, u.para AS para,
+                     sha256(u.para) AS fp,
+                     doc_id * 1000000 + u.pos AS okey
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(ls) + 1),
+                             i -> {'pos': i - 1, 'para': ls[i]})) AS u
+                    FROM s)),
+            w AS (SELECT fp, min(okey) AS wkey FROM p GROUP BY 1),
+            f AS (
+              SELECT doc_id, pos, para, okey = wkey AS kept
+              FROM p JOIN w USING (fp))
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                   round(CAST(sum(CASE WHEN kept THEN length(para)
+                                       ELSE 0 END) AS DOUBLE)
+                         / sum(length(para)), 6) AS kept_ratio,
+                   CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) > 0
+                        THEN sha256(string_agg(para, chr(10) || chr(10)
+                                               ORDER BY pos)
+                                    FILTER (WHERE kept))
+                   END AS kept_sha
+            FROM f GROUP BY doc_id
         """,
     }

@@ -392,3 +392,41 @@ def test_c4_clean_rules(spark):
     # surviving line alone
     assert out[2]["clean_sha"] == hashlib.sha256(
         b"One good line survives today.").hexdigest()
+
+
+def test_paragraph_dedup_first_wins(spark):
+    from news_crawler_spark.operators import paragraph_dedup
+
+    NAV = "subscribe now"
+    rows = [
+        (1, NAV + "\n\n" + "body one unique" + "\n\n" + "footer a"),
+        (2, NAV + "\n\n" + "body two unique" + "\n\n" + "footer a"),
+        (3, NAV + "\n\n" + NAV),                    # dup within one doc
+        (4, "body two unique"),                      # seen in doc 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+
+    # serial first-wins replay
+    seen, model = set(), {}
+    for doc_id, text in rows:
+        paras = [p.strip() for p in text.split("\n\n") if p.strip()]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        model[doc_id] = (len(paras), len(kept), kept)
+
+    for doc_id, (n_paras, n_kept, kept) in model.items():
+        assert out[doc_id]["n_paras"] == n_paras, doc_id
+        assert out[doc_id]["n_kept"] == n_kept, doc_id
+        if kept:
+            want = hashlib.sha256("\n\n".join(kept).encode()).hexdigest()
+            assert out[doc_id]["kept_sha"] == want, doc_id
+        else:
+            assert out[doc_id]["kept_sha"] is None, doc_id
+    # doc 4's only paragraph was claimed by doc 2 -> nothing survives
+    assert out[4]["n_kept"] == 0 and out[4]["kept_ratio"] == 0.0
+    # every distinct paragraph survives exactly once corpus-wide
+    assert sum(v[1] for v in model.values()) == len(seen)
