@@ -2156,6 +2156,20 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(parad)
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance resampling weights (operators/classifier.py
+    dsir_logratio, Xie et al. 2023): the Chinese-language slice of the
+    corpus is the in-domain target; every document scores the mean
+    log-ratio of its hashed unigram+bigram bag under the target vs the
+    raw bucket distribution (Laplace-smoothed, 1024 buckets) — the
+    weight a pipeline resamples by to tilt a web corpus toward a
+    domain."""
+    from news_crawler_spark.operators import dsir_logratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_logratio(docs, docs.filter(F.col("lang") == "zh"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2279,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "c4_line_filter": q_c4_line_filter,
         "paragraph_dedup": q_paragraph_dedup,
+        "dsir_importance": q_dsir_importance,
     }
 
 
@@ -3774,5 +3789,40 @@ def oracle_sql() -> dict[str, str]:
                                     FILTER (WHERE kept))
                    END AS kept_sha
             FROM f GROUP BY doc_id
+        """,
+        "dsir_importance": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     unnest(list_concat(
+                       t,
+                       list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1]))) AS g
+              FROM tok),
+            b AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(sha256(g), 1, 8))::BIGINT % 1024
+                       AS bucket
+              FROM g),
+            rawc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+            tgtc AS (SELECT bucket, count(*) AS ct FROM b
+                     WHERE lang = 'zh' GROUP BY 1),
+            tot AS (SELECT
+                      (SELECT CAST(sum(cr) AS DOUBLE) FROM rawc) AS n_raw,
+                      (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE)
+                       FROM tgtc) AS n_tgt),
+            r AS (
+              SELECT rawc.bucket,
+                     ln((coalesce(ct, 0) + 1) / (n_tgt + 1024))
+                     - ln((cr + 1) / (n_raw + 1024)) AS lr
+              FROM rawc LEFT JOIN tgtc USING (bucket), tot)
+            SELECT doc_id, count(*) AS n_feats,
+                   round(avg(lr), 6) AS dsir_logw
+            FROM b JOIN r USING (bucket) GROUP BY doc_id
         """,
     }

@@ -2,7 +2,10 @@
 plus the training-data pipeline ops (dedup, similarity, text, media)."""
 
 from news_crawler_spark.operators.asof import asof_join
-from news_crawler_spark.operators.classifier import hashed_classifier_scores
+from news_crawler_spark.operators.classifier import (
+    dsir_logratio,
+    hashed_classifier_scores,
+)
 from news_crawler_spark.operators.components import (
     connected_components,
     dedup_clusters,
@@ -55,6 +58,7 @@ from news_crawler_spark.operators.topk import top_k_global, top_k_per_group
 __all__ = [
     "asof_join",
     "semantic_dedup",
+    "dsir_logratio",
     "hashed_classifier_scores",
     "domain_mixture",
     "training_shuffle",

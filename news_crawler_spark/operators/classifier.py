@@ -92,3 +92,97 @@ def hashed_classifier_scores(
             "keep"
         ),
     )
+
+
+def dsir_logratio(
+    documents: DataFrame,
+    target: DataFrame,
+    *,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-ngram bag is under the
+    TARGET (in-domain) distribution than under the RAW distribution —
+    ``log p_target(x) - log p_raw(x)`` per feature, averaged over the
+    document's features. Training pipelines resample the raw corpus
+    proportionally to this weight to tilt it toward the target domain.
+
+    Features are unigrams + bigrams hashed into ``n_buckets`` buckets
+    with the same sha256-prefix formula as the serving-side classifier
+    (``_token_weight``), so the DuckDB oracle replays the bucketing
+    exactly. Distributions are Laplace-smoothed bag-of-buckets
+    multinomials: ``p_b = (c_b + 1) / (total + n_buckets)``.
+
+    Returns ``(doc_id, n_feats, dsir_logw)`` for every raw document
+    that has at least one feature; ``dsir_logw`` is the mean
+    per-feature log ratio rounded to 6 decimals.
+
+    Scale shape: the corpus explodes ONCE per counting pass into
+    (doc, bucket) rows; both count tables groupBy the bucket id —
+    <= n_buckets perfectly-balanced keys with map-side partial
+    aggregation — and the per-bucket log-ratio table (<= n_buckets
+    rows) BROADCASTS back onto the exploded grams, so the only
+    corpus-sized shuffle is the final per-document fold. The corpus is
+    scanned twice (count pass + scoring pass) — at 100 TB that beats
+    materializing the exploded gram table, and the scan is
+    column-pruned to (id, text).
+    """
+    def gram_buckets(df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != "",
+        )
+        n = F.size(toks)
+        bi = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, F.lit(1), n - 1),
+                F.slice(toks, F.lit(2), n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(
+            F.col(id_col),
+            F.explode(F.concat(toks, bi)).alias("_g"),
+        ).select(
+            id_col,
+            F.pmod(
+                F.conv(F.substring(F.sha2("_g", 256), 1, 8), 16, 10)
+                .cast("long"),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+
+    raw = gram_buckets(documents)
+    rawc = raw.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgtc = gram_buckets(target).groupBy("bucket").agg(
+        F.count("*").alias("ct"))
+    totals = (
+        rawc.agg(F.coalesce(F.sum("cr"), F.lit(0))
+                 .cast("double").alias("n_raw"))
+        .crossJoin(tgtc.agg(F.coalesce(F.sum("ct"), F.lit(0))
+                            .cast("double").alias("n_tgt")))
+    )
+    b = float(n_buckets)
+    ratio = (
+        rawc.join(tgtc, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                   / (F.col("n_tgt") + F.lit(b)))
+             - F.log((F.col("cr") + 1) / (F.col("n_raw") + F.lit(b))))
+            .alias("lr"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.avg("lr"), 6).alias("dsir_logw"),
+        )
+    )

@@ -430,3 +430,46 @@ def test_paragraph_dedup_first_wins(spark):
     assert out[4]["n_kept"] == 0 and out[4]["kept_ratio"] == 0.0
     # every distinct paragraph survives exactly once corpus-wide
     assert sum(v[1] for v in model.values()) == len(seen)
+
+
+def test_dsir_logratio_matches_serial(spark):
+    from news_crawler_spark.operators import dsir_logratio
+
+    rows = [
+        (1, "kimchi seoul hangang kimchi seoul", "ko"),
+        (2, "kimchi hangang palace seoul news", "ko"),
+        (3, "baseball hotdog stadium baseball run", "en"),
+        (4, "kimchi seoul baseball mixed bag here", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r
+           for r in dsir_logratio(
+               df, df.filter("lang = 'ko'"), n_buckets=64).collect()}
+
+    def feats(text):
+        t = _toks(text)
+        g = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        return [_sha_long(x, 0, 8) % 64 for x in g]
+
+    raw, tgt = {}, {}
+    for _, text, lang in rows:
+        for b in feats(text):
+            raw[b] = raw.get(b, 0) + 1
+            if lang == "ko":
+                tgt[b] = tgt.get(b, 0) + 1
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+
+    for doc_id, text, _ in rows:
+        fs = feats(text)
+        lrs = [
+            math.log((tgt.get(b, 0) + 1) / (n_tgt + 64))
+            - math.log((raw[b] + 1) / (n_raw + 64))
+            for b in fs
+        ]
+        assert out[doc_id]["n_feats"] == len(fs)
+        assert out[doc_id]["dsir_logw"] == pytest.approx(
+            round(sum(lrs) / len(lrs), 6), abs=1e-6), doc_id
+
+    # in-domain docs weigh above the out-of-domain doc
+    assert min(out[1]["dsir_logw"], out[2]["dsir_logw"]) \
+        > out[3]["dsir_logw"]
