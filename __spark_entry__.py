@@ -2170,6 +2170,19 @@ def q_dsir_importance(spark, sf_dir):
     return dsir_logratio(docs, docs.filter(F.col("lang") == "zh"))
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embeddings table
+    (operators/kmeans.py kmeans_fit): first-8-by-id seed, 2
+    refinement iterations, zero-shuffle literal-centroid assignment
+    (ivf_assign) + one (cell, dim) mean groupBy per iteration, every
+    ranking on ROUNDED cosine and every centroid mean rounded before
+    it becomes a literal — the oracle walks the identical trajectory
+    and must land on the identical 500-row final assignment."""
+    from news_crawler_spark.operators import kmeans_fit
+
+    return kmeans_fit(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2294,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "paragraph_dedup": q_paragraph_dedup,
         "dsir_importance": q_dsir_importance,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -3824,5 +3838,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_feats,
                    round(avg(lr), 6) AS dsir_logw
             FROM b JOIN r USING (bucket) GROUP BY doc_id
+        """,
+        "kmeans_clusters": """
+            WITH emb AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS ed
+              FROM embeddings),
+            c0 AS (
+              SELECT CAST(vec_id AS INT) AS cell,
+                     list_transform(ed, x -> round(x, 6)) AS cvec
+              FROM emb QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+            a1 AS (
+              SELECT e.vec_id, c.cell,
+                     round(list_dot_product(e.ed, c.cvec)
+                           / (sqrt(list_dot_product(e.ed, e.ed))
+                              * sqrt(list_dot_product(c.cvec, c.cvec))),
+                           6) AS sim
+              FROM emb e CROSS JOIN c0 c),
+            b1 AS (
+              SELECT vec_id, cell FROM a1
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cell) = 1),
+            m1 AS (
+              SELECT b1.cell, d.i AS dim, round(avg(e.ed[d.i]), 6) AS m
+              FROM b1 JOIN emb e USING (vec_id), range(1, 65) d(i)
+              GROUP BY b1.cell, d.i),
+            c1 AS (
+              SELECT cell, list(m ORDER BY dim) AS cvec
+              FROM m1 GROUP BY cell),
+            a2 AS (
+              SELECT e.vec_id, c.cell,
+                     round(list_dot_product(e.ed, c.cvec)
+                           / (sqrt(list_dot_product(e.ed, e.ed))
+                              * sqrt(list_dot_product(c.cvec, c.cvec))),
+                           6) AS sim
+              FROM emb e CROSS JOIN c1 c),
+            b2 AS (
+              SELECT vec_id, cell FROM a2
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cell) = 1),
+            m2 AS (
+              SELECT b2.cell, d.i AS dim, round(avg(e.ed[d.i]), 6) AS m
+              FROM b2 JOIN emb e USING (vec_id), range(1, 65) d(i)
+              GROUP BY b2.cell, d.i),
+            c2 AS (
+              SELECT cell, list(m ORDER BY dim) AS cvec
+              FROM m2 GROUP BY cell),
+            a3 AS (
+              SELECT e.vec_id, c.cell,
+                     round(list_dot_product(e.ed, c.cvec)
+                           / (sqrt(list_dot_product(e.ed, e.ed))
+                              * sqrt(list_dot_product(c.cvec, c.cvec))),
+                           6) AS sim
+              FROM emb e CROSS JOIN c2 c)
+            SELECT vec_id, cell FROM a3
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cell) = 1
         """,
     }

@@ -18,6 +18,7 @@ from news_crawler_spark.operators.dedup import (
     simhash_buckets,
     winnowing_fingerprints,
 )
+from news_crawler_spark.operators.kmeans import kmeans_fit
 from news_crawler_spark.operators.linkrank import pagerank
 from news_crawler_spark.operators.mixture import domain_mixture, training_shuffle
 from news_crawler_spark.operators.quality import (
@@ -92,6 +93,7 @@ __all__ = [
     "top_k_per_group",
     "cosine_topk_bruteforce",
     "ivf_topk",
+    "kmeans_fit",
     "kmeans_refine",
     "lsh_ann_topk",
     "document_links",

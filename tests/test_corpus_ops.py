@@ -473,3 +473,34 @@ def test_dsir_logratio_matches_serial(spark):
     # in-domain docs weigh above the out-of-domain doc
     assert min(out[1]["dsir_logw"], out[2]["dsir_logw"]) \
         > out[3]["dsir_logw"]
+
+
+def test_kmeans_fit_recovers_planted_clusters(spark):
+    from news_crawler_spark.operators import kmeans_fit
+
+    # 3 planted directions in R^8, 5 jittered members each; ids are
+    # ordered so the first-3-by-id seed starts one centroid per group
+    import random
+    rng = random.Random(7)
+    axes = [[1, 0, 0, 0, 0, 0, 0, 0],
+            [0, 1, 0, 0, 0, 0, 0, 0],
+            [0, 0, 1, 0, 0, 0, 0, 0]]
+    rows = []
+    vid = 0
+    for rep in range(5):
+        for g, ax in enumerate(axes):
+            vec = [x + rng.uniform(-0.05, 0.05) for x in ax]
+            rows.append((vid, [float(v) for v in vec], g))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r["vec_id"]: r["cell"]
+           for r in kmeans_fit(df, k=3, iters=2).collect()}
+    assert len(got) == len(rows)
+    # every member of a planted group lands in the same final cell,
+    # and distinct groups land in distinct cells
+    cells = {}
+    for vid_, _, g in rows:
+        cells.setdefault(g, set()).add(got[vid_])
+    assert all(len(s) == 1 for s in cells.values()), cells
+    assert len({next(iter(s)) for s in cells.values()}) == 3
