@@ -32,7 +32,10 @@ from news_crawler_spark.operators.quality import (
     repetition_profile,
 )
 from news_crawler_spark.operators.packing import pack_sequences
-from news_crawler_spark.operators.paragraphs import paragraph_dedup
+from news_crawler_spark.operators.paragraphs import (
+    paragraph_dedup,
+    span_dedup,
+)
 from news_crawler_spark.operators.rangejoin import interval_join_bucketed
 from news_crawler_spark.operators.sketches import (
     cms_counters,
@@ -89,6 +92,7 @@ __all__ = [
     "interval_join_bucketed",
     "pack_sequences",
     "paragraph_dedup",
+    "span_dedup",
     "top_k_global",
     "top_k_per_group",
     "cosine_topk_bruteforce",

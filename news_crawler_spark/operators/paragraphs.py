@@ -83,3 +83,64 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                 F.transform("_ks", lambda s: s.getField("para")), sep), 256))
         .alias("kept_sha"),
     )
+
+
+def span_dedup(documents: DataFrame, id_col: str = "doc_id",
+               spans_col: str = "spans") -> DataFrame:
+    """First-wins dedup at SPAN granularity over the interleaved
+    text+media document table (doc_id, spans:array<struct<kind,text,
+    media_ref,offset>>) — the paragraph pass expressed on the
+    north-rule input shape directly, no flattening. Text and link
+    spans key on sha256 of their text; media spans key on their
+    media_ref (the payload a media span actually carries), so the
+    same asset embedded on many pages dedups exactly like repeated
+    boilerplate text. The earliest (doc_id, offset) occurrence of
+    each key survives.
+
+    Returns per doc: ``n_spans``, ``n_kept``, ``n_media_kept``, and
+    ``kept_text_sha`` — sha256 of the surviving text-bearing spans
+    re-joined in offset order (NULL when none survive), i.e. the
+    span-sequence invariant digest of the deduped document.
+
+    Same scale shape as paragraph_dedup: one Generate, one map-side-
+    combinable min-witness groupBy on the span fingerprint, one
+    equi-join back (hot keys = sitewide boilerplate spans; AQE
+    skew-split covers them), one per-doc fold.
+    """
+    sp = documents.select(F.col(id_col), F.explode(spans_col).alias("s"))
+    key = F.when(
+        F.col("s.kind") == "media",
+        F.concat(F.lit("m:"), F.col("s.media_ref")),
+    ).otherwise(F.concat(F.lit("t:"), F.col("s.text")))
+    flat = sp.select(
+        id_col,
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("sptext"),
+        F.col("s.offset").alias("offset"),
+        F.sha2(key, 256).alias("fp"),
+        (F.col(id_col) * POS_BASE + F.col("s.offset")).alias("okey"),
+    )
+    witness = flat.groupBy("fp").agg(F.min("okey").alias("wkey"))
+    flagged = (
+        flat.join(witness, "fp")
+        .select(id_col, "kind", "sptext", "offset",
+                (F.col("okey") == F.col("wkey")).alias("kept"))
+    )
+    kept_text = F.when(F.col("kept") & (F.col("sptext") != ""),
+                       F.struct("offset", "sptext"))
+    agg = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.sum((F.col("kept") & (F.col("kind") == "media")).cast("int"))
+        .alias("n_media_kept"),
+        F.array_sort(F.collect_list(kept_text)).alias("_kt"),
+    )
+    return agg.select(
+        id_col, "n_spans", "n_kept", "n_media_kept",
+        F.when(
+            F.size("_kt") > 0,
+            F.sha2(F.concat_ws(
+                " ", F.transform("_kt", lambda s: s.getField("sptext"))),
+                256))
+        .alias("kept_text_sha"),
+    )

@@ -504,3 +504,37 @@ def test_kmeans_fit_recovers_planted_clusters(spark):
         cells.setdefault(g, set()).add(got[vid_])
     assert all(len(s) == 1 for s in cells.values()), cells
     assert len({next(iter(s)) for s in cells.values()}) == 3
+
+
+def test_span_dedup_first_wins_by_kind(spark):
+    from news_crawler_spark.operators import span_dedup
+
+    def s(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    rows = [
+        (1, [s("text", "nav bar", "", 0), s("text", "body one", "", 1),
+             s("media", "", "img/logo", 2)]),
+        (2, [s("text", "nav bar", "", 0), s("media", "", "img/logo", 1),
+             s("text", "body two", "", 2)]),
+        # same text in a 'link' span still collides with the text span
+        (3, [s("link", "nav bar", "", 0), s("media", "", "img/unique", 1)]),
+    ]
+    schema = ("doc_id long, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    out = {r["doc_id"]: r
+           for r in span_dedup(
+               spark.createDataFrame(rows, schema)).collect()}
+
+    # doc 1 is first everywhere: keeps all 3 spans
+    assert out[1]["n_kept"] == 3 and out[1]["n_media_kept"] == 1
+    assert out[1]["kept_text_sha"] == hashlib.sha256(
+        b"nav bar body one").hexdigest()
+    # doc 2 loses the nav text and the logo media, keeps its body
+    assert out[2]["n_kept"] == 1 and out[2]["n_media_kept"] == 0
+    assert out[2]["kept_text_sha"] == hashlib.sha256(
+        b"body two").hexdigest()
+    # doc 3's link span dups doc 1's nav text; its media is fresh
+    assert out[3]["n_kept"] == 1 and out[3]["n_media_kept"] == 1
+    assert out[3]["kept_text_sha"] is None
