@@ -2239,6 +2239,40 @@ def q_span_dedup(spark, sf_dir):
     return span_dedup(with_nav)
 
 
+def q_edit_distance_verify(spark, sf_dir):
+    """Character-level verification of MinHash-LSH candidate pairs:
+    the band bucket-join proposes candidates (operators/dedup.py
+    minhash_lsh_candidates), then exact Levenshtein similarity
+    1 - dist/max(len) — native JVM levenshtein, never Python — keeps
+    pairs at >= 0.8. The expensive O(len^2) edit distance runs ONLY on
+    the LSH-bounded candidate set, never all pairs — the two-tier
+    cheap-filter/exact-verify shape every near-dup pipeline uses. The
+    distance is staged behind a Generate barrier so it computes once
+    per pair, not once per consuming expression."""
+    from news_crawler_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs)
+    ta = docs.select(F.col("doc_id").alias("id_a"),
+                     F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"),
+                     F.col("text").alias("_tb"))
+    j = cands.join(ta, "id_a").join(tb, "id_b")
+    staged = j.select(
+        "id_a", "id_b",
+        F.explode(F.array(F.struct(
+            F.levenshtein("_ta", "_tb").alias("d"),
+            F.greatest(F.length("_ta"), F.length("_tb")).alias("m"),
+        ))).alias("_s"))
+    sim = F.round(F.lit(1.0) - F.col("_s.d") / F.col("_s.m"), 6)
+    return staged.select(
+        "id_a", "id_b",
+        F.col("_s.d").alias("edit_dist"),
+        sim.alias("edit_sim"),
+        (sim >= 0.8).alias("verified"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2366,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "corpus_report": q_corpus_report,
         "span_dedup": q_span_dedup,
+        "edit_distance_verify": q_edit_distance_verify,
     }
 
 
@@ -4022,5 +4057,24 @@ def oracle_sql() -> dict[str, str]:
                                     FILTER (WHERE kept AND sptext <> ''))
                    END AS kept_text_sha
             FROM g GROUP BY doc_id
+        """,
+        "edit_distance_verify": f"""
+            WITH cand AS (
+              SELECT id_a, id_b FROM ({_minhash_lsh_oracle()})
+            ),
+            j AS (
+              SELECT c.id_a, c.id_b, a.text AS ta, b.text AS tb
+              FROM cand c
+              JOIN documents a ON a.doc_id = c.id_a
+              JOIN documents b ON b.doc_id = c.id_b)
+            SELECT id_a, id_b,
+                   levenshtein(ta, tb) AS edit_dist,
+                   round(1.0 - levenshtein(ta, tb)
+                         / greatest(length(ta), length(tb)), 6)
+                     AS edit_sim,
+                   round(1.0 - levenshtein(ta, tb)
+                         / greatest(length(ta), length(tb)), 6) >= 0.8
+                     AS verified
+            FROM j
         """,
     }
