@@ -2257,7 +2257,18 @@ def q_edit_distance_verify(spark, sf_dir):
                      F.col("text").alias("_ta"))
     tb = docs.select(F.col("doc_id").alias("id_b"),
                      F.col("text").alias("_tb"))
-    j = cands.join(ta, "id_a").join(tb, "id_b")
+    # the candidate set is SMALL (row count) but the per-row verify is
+    # O(len^2): the candidate pairs arrive hash-partitioned on
+    # (id_a, id_b) by band_pairs' dedup, AQE coalesces that tiny
+    # planner exchange to ONE task, and the whole DP serializes
+    # (measured 18.5 s at sf0.1, ~14 of them levenshtein on one
+    # task). A hash repartition on the same keys gets elided as
+    # already-satisfied, so force an explicit-count ROUND-ROBIN —
+    # user-specified, never AQE-coalesced — right before the
+    # quadratic stage; it moves only (id, id, text, text) rows.
+    n_part = spark.sparkContext.defaultParallelism
+    j = (cands.join(ta, "id_a").join(tb, "id_b")
+         .repartition(n_part))
     staged = j.select(
         "id_a", "id_b",
         F.explode(F.array(F.struct(

@@ -74,6 +74,13 @@ BENCH_QUERIES = [
     "gopher_gate",
     "exact_substr_spans",
     "hashed_quality_classifier",
+    "c4_line_filter",
+    "paragraph_dedup",
+    "span_dedup",
+    "dsir_importance",
+    "kmeans_clusters",
+    "edit_distance_verify",
+    "corpus_report",
 ]
 
 

@@ -306,3 +306,42 @@ def test_quality_token_joins_are_salted(spark):
         assert "hashpartitioning(line" in bp_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_c4_clean_is_zero_shuffle(spark):
+    """C4 cleaning is pure per-row array work: the physical plan over
+    the corpus must contain NO Exchange, NO Join, NO Window — at
+    100 TB this operator is a single scan."""
+    from news_crawler_spark.operators.quality import c4_clean
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(c4_clean(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_paragraph_dedup_witness_is_partial_aggregated(spark):
+    """The paragraph-dedup witness groupBy (min okey per fingerprint)
+    must map-side combine — hot boilerplate fingerprints are the skew
+    case, and a partial min keeps them cheap before the exchange."""
+    from news_crawler_spark.operators import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(paragraph_dedup(docs))
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_subplan_is_shuffle_free(spark):
+    """Each kmeans_fit Lloyd iteration assigns via the literal-centroid
+    scan: the final assignment's plan (after the tiny centroid
+    collect) must be Project/Generate only over the corpus — no
+    Exchange, Join, or Window."""
+    from news_crawler_spark.operators import kmeans_fit
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(kmeans_fit(emb, k=4, iters=1))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
