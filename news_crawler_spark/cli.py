@@ -70,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--cpus", type=int, default=None)
     g.add_argument("--compact", action="store_true",
                    help="compact band/fingerprint state after the ingest")
+    g.add_argument("--granularity", choices=("doc", "paragraph"),
+                   default="doc",
+                   help="'doc' = fingerprint+MinHash-band DedupState; "
+                        "'paragraph' = sub-document first-wins "
+                        "ParagraphState (new_frac per doc)")
 
     b = sub.add_parser("bench", help="alias for the repo-root bench harness")
 
@@ -104,15 +109,28 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--state-dir is required (or set NCS_STATE_DIR)")
         from pyspark.sql import functions as F
 
-        from news_crawler_spark.ingest import DedupState
+        from news_crawler_spark.ingest import DedupState, ParagraphState
         from news_crawler_spark.session import get_spark
 
         spark = get_spark("ingest-cli", cpus=args.cpus)
+        batch = spark.read.parquet(args.batch).select("doc_id", "text")
+        if args.granularity == "paragraph":
+            pstate = ParagraphState(spark, args.state_dir)
+            pstate.resume()
+            v = pstate.ingest(batch, args.batch_id)
+            tot = v.agg(F.count("*").alias("nd"),
+                        F.coalesce(F.sum("n_paras"), F.lit(0)).alias("np"),
+                        F.coalesce(F.sum("n_new"), F.lit(0)).alias("nn")
+                        ).collect()[0]
+            out = {"batch_id": args.batch_id, "n_docs": int(tot.nd),
+                   "n_paras": int(tot.np), "n_new_paras": int(tot.nn)}
+            if args.compact:
+                out["compact"] = pstate.compact()
+            print(json.dumps(out))
+            return 0
         state = DedupState(spark, args.state_dir)
         state.resume()  # roll back any torn prior ingest first
-        verdicts = state.ingest(
-            spark.read.parquet(args.batch).select("doc_id", "text"),
-            args.batch_id)
+        verdicts = state.ingest(batch, args.batch_id)
         counts = {r["verdict"]: r["n"] for r in
                   verdicts.groupBy("verdict")
                   .agg(F.count("*").alias("n")).collect()}

@@ -289,3 +289,161 @@ class DedupState:
               counts.get("near_dup", 0),
               counts.get("new", 0))])
         return verdict_rows.select("doc_id", "verdict", "matched_id")
+
+
+PARAGRAPHS = T.StructType([
+    T.StructField("fp", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("pos", T.IntegerType()),
+])
+
+PARA_VERDICTS = T.StructType([
+    T.StructField("batch_id", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_paras", T.LongType()),
+    T.StructField("n_new", T.LongType()),
+    T.StructField("new_frac", T.DoubleType()),
+])
+
+PARA_LINEAGE = T.StructType([
+    T.StructField("seq", T.LongType()),
+    T.StructField("batch_id", T.StringType()),
+    T.StructField("para_snapshot", T.LongType()),
+    T.StructField("verdict_snapshot", T.LongType()),
+    T.StructField("n_docs", T.LongType()),
+    T.StructField("n_paras", T.LongType()),
+    T.StructField("n_new", T.LongType()),
+])
+
+
+class ParagraphState:
+    """Persisted PARAGRAPH-granularity dedup state across ingest
+    batches: :class:`DedupState`'s cross-run content-seen invariant
+    pushed below the document, the incremental twin of the batch
+    operator ``operators/paragraphs.paragraph_dedup`` (RefinedWeb /
+    Dolma sub-document pass). A paragraph that entered the corpus in
+    ANY earlier batch — a nav blurb, a subscribe box, a syndicated
+    body — is recognized by its sha256 fingerprint without rescanning
+    the corpus, and each incoming doc reports how much of it is
+    genuinely fresh content (``new_frac``), the signal recrawl-heavy
+    pipelines gate storage and training inclusion on.
+
+    State is ONE table ``paragraphs (fp, doc_id, pos)`` — exactly one
+    row per unique paragraph, witness = first occurrence — kept
+    one-row-per-key by merge_insert, so hot boilerplate paragraphs
+    stay single state rows and the verdict join never skews. Same
+    commit protocol as DedupState: data tables first, lineage row
+    last (driver-side, no Spark job), :meth:`resume` re-pins to the
+    last complete lineage row, and a replayed ``batch_id`` returns
+    its committed verdicts instead of re-ingesting.
+
+    First-wins is GLOBAL across batches and WITHIN the batch: an
+    occurrence is new iff its fingerprint misses the state table and
+    it is the batch's earliest occurrence (min doc_id*POS_BASE+pos) of
+    that fingerprint — bit-identical to running the batch operator
+    over the concatenation of every batch in ingest order.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 sep: str = "\n\n"):
+        self.spark = spark
+        self.text_col = text_col
+        self.id_col = id_col
+        self.sep = sep
+        st = lambda name, schema: SnapshotTable(spark, state_dir, name, schema)  # noqa: E731
+        self.paragraphs = st("paragraphs", PARAGRAPHS)
+        self.verdicts = st("para_verdicts", PARA_VERDICTS)
+        self.lineage = st("para_lineage", PARA_LINEAGE)
+
+    # -- recovery ---------------------------------------------------------
+    def resume(self) -> int:
+        """Re-pin state to the last complete lineage row (kill/resume:
+        a torn ingest's appends roll back). Returns committed-batch
+        count."""
+        rows = (self.lineage.read()
+                .orderBy(F.col("seq").desc()).limit(1).collect())
+        if not rows:
+            for t in (self.paragraphs, self.verdicts):
+                t.rollback(-1)
+            return 0
+        last = rows[0]
+        self.paragraphs.rollback(last.para_snapshot)
+        self.verdicts.rollback(last.verdict_snapshot)
+        return int(last.seq) + 1
+
+    def committed_batches(self) -> list[str]:
+        return [r.batch_id for r in
+                self.lineage.read().orderBy("seq").collect()]
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self) -> dict:
+        """Small-file coalescing: merge_insert appends one data dir per
+        batch; rewrite the (unchanged) row set into a single snapshot
+        dir. Atomic overwrite; always safe to re-run."""
+        n = self.paragraphs.read().count()
+        self.paragraphs.overwrite(self.paragraphs.read())
+        return {"paragraph_rows": n}
+
+    # -- ingest -----------------------------------------------------------
+    def ingest(self, batch: DataFrame, batch_id: str) -> DataFrame:
+        """Classify ``batch`` and return per-doc verdict rows
+        ``(doc_id, n_paras, n_new, new_frac)``; commits the batch's
+        new paragraph witnesses atomically. Idempotent on
+        ``batch_id``."""
+        from news_crawler_spark.operators.paragraphs import paragraph_rows
+
+        done = (self.lineage.read()
+                .filter(F.col("batch_id") == batch_id).limit(1).collect())
+        if done:
+            return (self.verdicts.read()
+                    .filter(F.col("batch_id") == batch_id)
+                    .select("doc_id", "n_paras", "n_new", "new_frac"))
+
+        # pin: rows feed the witness agg, the state join, AND the
+        # state append — without the checkpoint each consumer re-runs
+        # the split/sha DAG (same rationale as DedupState.ingest)
+        rows = paragraph_rows(
+            batch, self.text_col, self.id_col, self.sep
+        ).withColumnRenamed(self.id_col, "doc_id").localCheckpoint(eager=True)
+        wit = rows.groupBy("fp").agg(F.min("okey").alias("wkey"))
+        state = self.paragraphs.read().select(
+            "fp", F.lit(True).alias("_seen"))
+        flagged = (
+            rows.join(wit, "fp")
+            .join(state, "fp", "left")
+            .select(
+                "doc_id", "pos", "fp",
+                (F.col("_seen").isNull()
+                 & (F.col("okey") == F.col("wkey"))).alias("is_new"))
+            .localCheckpoint(eager=True)
+        )
+        verdict_rows = (
+            flagged.groupBy("doc_id").agg(
+                F.count("*").alias("n_paras"),
+                F.sum(F.col("is_new").cast("long")).alias("n_new"))
+            .select(
+                F.lit(batch_id).alias("batch_id"),
+                "doc_id", "n_paras", "n_new",
+                F.round(F.col("n_new") / F.col("n_paras"), 6)
+                .alias("new_frac"))
+            .localCheckpoint(eager=True)
+        )
+        totals = verdict_rows.agg(
+            F.count("*").alias("nd"),
+            F.coalesce(F.sum("n_paras"), F.lit(0)).alias("np"),
+            F.coalesce(F.sum("n_new"), F.lit(0)).alias("nn")).collect()[0]
+
+        # -- commit: data first, lineage last ------------------------------
+        self.verdicts.append(verdict_rows)
+        self.paragraphs.merge_insert(
+            flagged.filter(F.col("is_new"))
+            .select("fp", "doc_id", "pos"),
+            "fp")
+        seq = len(self.committed_batches())
+        self.lineage.append_rows(
+            [(seq, batch_id,
+              self.paragraphs.current_snapshot(),
+              self.verdicts.current_snapshot(),
+              int(totals.nd), int(totals.np), int(totals.nn))])
+        return verdict_rows.select("doc_id", "n_paras", "n_new", "new_frac")

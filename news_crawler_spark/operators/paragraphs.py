@@ -33,6 +33,29 @@ from pyspark.sql import functions as F
 POS_BASE = 1_000_000
 
 
+def paragraph_rows(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", sep: str = "\n\n") -> DataFrame:
+    """Explode a corpus into fingerprinted paragraph occurrences:
+    ``(doc_id, pos, para, fp, okey)`` where ``fp`` is the paragraph's
+    sha256 and ``okey = doc_id * POS_BASE + pos`` is the scalar
+    occurrence key first-wins semantics minimize over. Shared by the
+    batch operator (:func:`paragraph_dedup`) and the persisted
+    cross-batch state (ingest.ParagraphState) so both dedup the exact
+    same paragraph structure."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), sep),
+                            lambda p: F.trim(p)),
+                lambda p: p != F.lit(""))).alias("pos", "para"),
+    ).select(
+        id_col, "pos", "para",
+        F.sha2(F.col("para"), 256).alias("fp"),
+        (F.col(id_col) * POS_BASE + F.col("pos")).alias("okey"),
+    )
+
+
 def paragraph_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     sep: str = "\n\n") -> DataFrame:
@@ -47,18 +70,7 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     fingerprint — deterministic, engine-independent, and exactly the
     serial "keep the first time you see it" semantics.
     """
-    paras = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.filter(
-                F.transform(F.split(F.col(text_col), sep),
-                            lambda p: F.trim(p)),
-                lambda p: p != F.lit(""))).alias("pos", "para"),
-    ).select(
-        id_col, "pos", "para",
-        F.sha2(F.col("para"), 256).alias("fp"),
-        (F.col(id_col) * POS_BASE + F.col("pos")).alias("okey"),
-    )
+    paras = paragraph_rows(df, text_col, id_col, sep)
     witness = paras.groupBy("fp").agg(F.min("okey").alias("wkey"))
     flagged = (
         paras.join(witness, "fp")
