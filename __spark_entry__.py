@@ -2284,6 +2284,25 @@ def q_edit_distance_verify(spark, sf_dir):
     )
 
 
+def q_recrawl_intervals(spark, sf_dir):
+    """Adaptive recrawl scheduling (operators/recrawl.py
+    recrawl_intervals, Cho & Garcia-Molina 2003): the events table
+    plays the fetch log — each user_id is a URL, each event a fetch,
+    and a non-'view' event type marks an observed change. Per URL:
+    the bias-corrected Poisson change-rate estimate and the clamped
+    next recrawl interval the frontier's not_before would consume."""
+    from news_crawler_spark.operators import recrawl_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    hist = ev.select(
+        F.col("user_id").alias("url_id"),
+        sec.alias("fetch_sec"),
+        (F.col("event_type") != "view").alias("changed"))
+    return recrawl_intervals(hist)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2412,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "span_dedup": q_span_dedup,
         "edit_distance_verify": q_edit_distance_verify,
+        "recrawl_intervals": q_recrawl_intervals,
     }
 
 
@@ -4087,5 +4107,34 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(ta), length(tb)), 6) >= 0.8
                      AS verified
             FROM j
+        """,
+        "recrawl_intervals": """
+            WITH h AS (
+              SELECT user_id AS url_id,
+                     epoch_us(ts) // 1000000 AS fetch_sec,
+                     event_type <> 'view' AS changed
+              FROM events),
+            a AS (
+              SELECT url_id,
+                     count(*) AS n,
+                     CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END)
+                          AS BIGINT) AS x,
+                     CAST(max(fetch_sec) - min(fetch_sec) AS DOUBLE)
+                       AS span
+              FROM h GROUP BY 1)
+            SELECT url_id,
+                   n AS n_fetches,
+                   x AS n_changes,
+                   CASE WHEN n > 1 AND span > 0 AND x > 0
+                        THEN round((-ln((n - x + 0.5) / (n + 0.5)))
+                                   / (span / CAST(n - 1 AS DOUBLE)), 9)
+                   END AS change_rate,
+                   round(CASE WHEN n > 1 AND span > 0 AND x > 0
+                              THEN least(greatest(
+                                1.0 / ((-ln((n - x + 0.5) / (n + 0.5)))
+                                       / (span / CAST(n - 1 AS DOUBLE))),
+                                3600.0), 604800.0)
+                              ELSE 604800.0 END, 6) AS next_interval_sec
+            FROM a
         """,
     }

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "edit_distance_verify",
     "corpus_report",
+    "recrawl_intervals",
 ]
 
 

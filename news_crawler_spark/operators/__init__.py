@@ -37,6 +37,7 @@ from news_crawler_spark.operators.paragraphs import (
     span_dedup,
 )
 from news_crawler_spark.operators.rangejoin import interval_join_bucketed
+from news_crawler_spark.operators.recrawl import recrawl_intervals
 from news_crawler_spark.operators.sketches import (
     cms_counters,
     cms_lookup,
@@ -92,6 +93,7 @@ __all__ = [
     "interval_join_bucketed",
     "pack_sequences",
     "paragraph_dedup",
+    "recrawl_intervals",
     "span_dedup",
     "top_k_global",
     "top_k_per_group",

@@ -538,3 +538,40 @@ def test_span_dedup_first_wins_by_kind(spark):
     # doc 3's link span dups doc 1's nav text; its media is fresh
     assert out[3]["n_kept"] == 1 and out[3]["n_media_kept"] == 1
     assert out[3]["kept_text_sha"] is None
+
+
+def test_recrawl_intervals_estimator(spark):
+    from news_crawler_spark.operators import recrawl_intervals
+
+    rows = [
+        # url 1: 5 fetches 100s apart, 2 changes
+        *[(1, 1000 + i * 100, i in (1, 3)) for i in range(5)],
+        # url 2: never changed -> cold branch, max interval
+        *[(2, 1000 + i * 50, False) for i in range(4)],
+        # url 3: single fetch -> inestimable
+        (3, 1000, True),
+        # url 4: changes every fetch -> rate clamps interval to min
+        *[(4, 1000 + i, True) for i in range(10)],
+    ]
+    df = spark.createDataFrame(
+        rows, "url_id long, fetch_sec long, changed boolean")
+    out = {r["url_id"]: r
+           for r in recrawl_intervals(
+               df, min_interval=60.0, max_interval=86400.0).collect()}
+
+    r_hat = -math.log((5 - 2 + 0.5) / (5 + 0.5))
+    rate = r_hat / (400 / 4)
+    assert out[1]["n_fetches"] == 5 and out[1]["n_changes"] == 2
+    assert out[1]["change_rate"] == pytest.approx(rate, rel=1e-6)
+    assert out[1]["next_interval_sec"] == pytest.approx(
+        min(max(1.0 / rate, 60.0), 86400.0), rel=1e-6)
+
+    assert out[2]["change_rate"] is None
+    assert out[2]["next_interval_sec"] == 86400.0
+    assert out[3]["change_rate"] is None
+    assert out[3]["next_interval_sec"] == 86400.0
+    # x == n stays finite and fast: interval hits the floor
+    assert out[4]["next_interval_sec"] == 60.0
+    # more observed changes => shorter interval (monotonicity)
+    assert (out[4]["next_interval_sec"] < out[1]["next_interval_sec"]
+            < out[2]["next_interval_sec"])
