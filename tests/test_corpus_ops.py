@@ -575,3 +575,91 @@ def test_recrawl_intervals_estimator(spark):
     # more observed changes => shorter interval (monotonicity)
     assert (out[4]["next_interval_sec"] < out[1]["next_interval_sec"]
             < out[2]["next_interval_sec"])
+
+
+_PARA = st.sampled_from(["aa bb", "bb cc", "cc aa", "aa aa", "dd"])
+_PARA_TEXT = st.lists(_PARA, min_size=1, max_size=6).map("\n\n".join)
+
+
+@given(texts=st.lists(_PARA_TEXT, min_size=1, max_size=6))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_paragraph_dedup_property(spark, texts):
+    """Generative: a 5-paragraph alphabet forces dense cross-doc and
+    within-doc collisions. Invariants: (1) corpus-wide, every distinct
+    paragraph survives EXACTLY once (sum of n_kept == distinct
+    paragraph count); (2) per doc, n_kept matches the serial
+    first-wins replay in (doc_id, pos) order."""
+    from news_crawler_spark.operators import paragraph_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+
+    seen = set()
+    distinct = set()
+    for doc_id, text in rows:
+        paras = [p.strip() for p in text.split("\n\n") if p.strip()]
+        kept = 0
+        for para in paras:
+            distinct.add(para)
+            if para not in seen:
+                seen.add(para)
+                kept += 1
+        assert out[doc_id]["n_paras"] == len(paras)
+        assert out[doc_id]["n_kept"] == kept
+    assert sum(r["n_kept"] for r in out.values()) == len(distinct)
+
+
+_LINE = st.sampled_from([
+    "good line here.",          # kept: terminal + 3 words
+    "Another fine line today!",  # kept
+    "no terminal punct",         # dropped
+    "short.",                    # dropped: 1 word
+    "javascript heavy line.",    # dropped: badword
+])
+_LINE_TEXT = st.lists(_LINE, min_size=1, max_size=8).map("\n".join)
+
+
+@given(texts=st.lists(_LINE_TEXT, min_size=1, max_size=5))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_c4_line_filter_idempotent(spark, texts):
+    """Line-filter idempotence: re-cleaning the kept-line text keeps
+    every line (kept lines each pass the line rules and contain no
+    newline, so the second pass is the identity on them)."""
+    from news_crawler_spark.operators import c4_clean
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    first = {r["doc_id"]: r for r in c4_clean(df).collect()}
+
+    # serial replay of the line rules to rebuild the kept text
+    def keep_line(line):
+        words = [w for w in line.split() if w]
+        return (line[-1:] in ".!?\""
+                and len(words) >= 3
+                and "javascript" not in line.lower())
+
+    rebuilt = []
+    for doc_id, text in rows:
+        kept = [ln.strip() for ln in text.split("\n")
+                if ln.strip() and keep_line(ln.strip())]
+        assert first[doc_id]["n_kept"] == len(kept)
+        if kept:
+            want = hashlib.sha256("\n".join(kept).encode()).hexdigest()
+            assert first[doc_id]["clean_sha"] == want
+            rebuilt.append((doc_id, "\n".join(kept)))
+
+    if rebuilt:
+        df2 = spark.createDataFrame(rebuilt, "doc_id long, text string")
+        second = {r["doc_id"]: r for r in c4_clean(df2).collect()}
+        for doc_id, text in rebuilt:
+            assert second[doc_id]["n_kept"] == second[doc_id]["n_lines"]
+            assert second[doc_id]["clean_sha"] == first[doc_id]["clean_sha"]
