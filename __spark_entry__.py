@@ -2303,6 +2303,28 @@ def q_recrawl_intervals(spark, sf_dir):
     return recrawl_intervals(hist)
 
 
+def q_hits_authority(spark, sf_dir):
+    """HITS hubs/authorities (operators/hits.py hits_scores,
+    Kleinberg 1999) — the companion to pagerank_authority over the
+    SAME deterministically hash-synthesized 400-node edge list: 2
+    max-normalized, 6dp-rounded iterations (the kmeans_fit
+    replayable-trajectory pattern), top-30 authorities with their hub
+    scores, ordered by (auth desc, node)."""
+    from news_crawler_spark.operators import hits_scores
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            F.pmod(F.col("user_id"), F.lit(400)).alias("src"),
+            F.pmod(F.col("user_id") * F.lit(2654435761) + F.col("event_id"),
+                   F.lit(400)).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    scores = hits_scores(edges, iterations=2)
+    return scores.orderBy(F.col("auth").desc(), "node").limit(30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2432,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "edit_distance_verify": q_edit_distance_verify,
         "recrawl_intervals": q_recrawl_intervals,
+        "hits_authority": q_hits_authority,
     }
 
 
@@ -4136,5 +4159,39 @@ def oracle_sql() -> dict[str, str]:
                                 3600.0), 604800.0)
                               ELSE 604800.0 END, 6) AS next_interval_sec
             FROM a
+        """,
+        "hits_authority": """
+            WITH e AS (
+              SELECT DISTINCT user_id % 400 AS src,
+                     (user_id * 2654435761 + event_id) % 400 AS dst
+              FROM events
+              WHERE user_id % 400
+                    <> (user_id * 2654435761 + event_id) % 400),
+            h0 AS (
+              SELECT node, 1.0 AS h FROM (
+                SELECT src AS node FROM e UNION SELECT dst FROM e)),
+            a1r AS (SELECT dst, sum(h) AS ar
+                    FROM e JOIN h0 ON e.src = h0.node GROUP BY dst),
+            a1 AS (SELECT dst AS node,
+                          round(ar / (SELECT max(ar) FROM a1r), 6) AS a
+                   FROM a1r),
+            h1r AS (SELECT src, sum(a) AS hr
+                    FROM e JOIN a1 ON e.dst = a1.node GROUP BY src),
+            h1 AS (SELECT src AS node,
+                          round(hr / (SELECT max(hr) FROM h1r), 6) AS h
+                   FROM h1r),
+            a2r AS (SELECT dst, sum(h) AS ar
+                    FROM e JOIN h1 ON e.src = h1.node GROUP BY dst),
+            a2 AS (SELECT dst AS node,
+                          round(ar / (SELECT max(ar) FROM a2r), 6) AS a
+                   FROM a2r),
+            h2r AS (SELECT src, sum(a) AS hr
+                    FROM e JOIN a2 ON e.dst = a2.node GROUP BY src),
+            h2 AS (SELECT src AS node,
+                          round(hr / (SELECT max(hr) FROM h2r), 6) AS h
+                   FROM h2r)
+            SELECT a2.node, a2.a AS auth, h2.h AS hub
+            FROM a2 LEFT JOIN h2 USING (node)
+            ORDER BY auth DESC, node LIMIT 30
         """,
     }

@@ -18,6 +18,7 @@ from news_crawler_spark.operators.dedup import (
     simhash_buckets,
     winnowing_fingerprints,
 )
+from news_crawler_spark.operators.hits import hits_scores
 from news_crawler_spark.operators.kmeans import kmeans_fit
 from news_crawler_spark.operators.linkrank import pagerank
 from news_crawler_spark.operators.mixture import domain_mixture, training_shuffle
@@ -87,6 +88,7 @@ __all__ = [
     "hll_registers",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
+    "hits_scores",
     "pagerank",
     "simhash_buckets",
     "winnowing_fingerprints",

@@ -1,0 +1,74 @@
+"""HITS hubs-and-authorities over a link graph (Kleinberg 1999).
+
+The companion signal to PageRank (operators/linkrank.py) a crawl
+frontier actually wants both halves of: AUTHORITIES are pages many
+good hubs point at (fetch-priority signal), HUBS are index/listing
+pages whose outlinks are worth harvesting aggressively (the
+reference's S3 listing scan, generalized). One iteration is
+
+    auth(v) = sum of hub(u) over edges u->v,  then max-normalize
+    hub(u)  = sum of auth(v) over edges u->v, then max-normalize
+
+Scale shape per iteration: one equi-join of the edge list with the
+current score table plus one map-side-combinable groupBy sum — the
+same join+groupBy-per-iteration shape as pagerank — and a 1-row max
+aggregate that broadcasts back for normalization. Nothing is
+all-pairs; the edge list shuffles on its join key only.
+
+Determinism (the kmeans_fit pattern, operators/kmeans.py): scores are
+max-normalized and ROUNDED to 6 dp after every update, so the
+iteration trajectory is engine-exact and the DuckDB oracle replays it
+by unrolling the iterations in SQL — shuffle-order float-sum drift
+(~1e-15) cannot survive the rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hits_scores(edges: DataFrame, iterations: int = 2,
+                src_col: str = "src", dst_col: str = "dst",
+                round_to: int = 6) -> DataFrame:
+    """Run ``iterations`` HITS updates from hub = 1.0 on every node
+    and return ``(node, auth, hub)`` — auth for every node with an
+    in-edge, hub NULL for pure sinks (no out-edges). Callers rank by
+    ``auth`` (and break ties on node id) for a deterministic top-k.
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    hub = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.lit(1.0).alias("h"))
+    )
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub, e.src == hub.node)
+            .groupBy("dst").agg(F.sum("h").alias("ar"))
+        )
+        a_max = a_raw.agg(F.max("ar").alias("am"))
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_max))
+            .select(F.col("dst").alias("node"),
+                    F.round(F.col("ar") / F.col("am"), round_to)
+                    .alias("a"))
+        )
+        h_raw = (
+            e.join(auth, e.dst == auth.node)
+            .groupBy("src").agg(F.sum("a").alias("hr"))
+        )
+        h_max = h_raw.agg(F.max("hr").alias("hm"))
+        hub = (
+            h_raw.crossJoin(F.broadcast(h_max))
+            .select(F.col("src").alias("node"),
+                    F.round(F.col("hr") / F.col("hm"), round_to)
+                    .alias("h"))
+        )
+    return (
+        auth.join(hub, "node", "left")
+        .select("node", F.col("a").alias("auth"), F.col("h").alias("hub"))
+    )

@@ -663,3 +663,40 @@ def test_c4_line_filter_idempotent(spark, texts):
         for doc_id, text in rebuilt:
             assert second[doc_id]["n_kept"] == second[doc_id]["n_lines"]
             assert second[doc_id]["clean_sha"] == first[doc_id]["clean_sha"]
+
+
+def test_hits_scores_hand_graph(spark):
+    from news_crawler_spark.operators import hits_scores
+
+    # 0 and 4 are hubs pointing into {1,2,3}; 1 gets both hubs
+    edges = [(0, 1), (0, 2), (0, 3), (4, 1), (4, 2), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r for r in hits_scores(df, iterations=2).collect()}
+
+    # serial replay with the same round-after-normalize trajectory
+    nodes = sorted({n for e in edges for n in e})
+    h = {n: 1.0 for n in nodes}
+    a = {}
+    for _ in range(2):
+        a_raw = {}
+        for s, d in edges:
+            a_raw[d] = a_raw.get(d, 0.0) + h.get(s, 0.0)
+        mx = max(a_raw.values())
+        a = {n: round(v / mx, 6) for n, v in a_raw.items()}
+        h_raw = {}
+        for s, d in edges:
+            if d in a:
+                h_raw[s] = h_raw.get(s, 0.0) + a[d]
+        mx = max(h_raw.values())
+        h = {n: round(v / mx, 6) for n, v in h_raw.items()}
+
+    assert set(out) == set(a)
+    for n in a:
+        assert out[n]["auth"] == pytest.approx(a[n], abs=1e-9), n
+        if n in h:
+            assert out[n]["hub"] == pytest.approx(h[n], abs=1e-9), n
+        else:
+            assert out[n]["hub"] is None, n
+    # node 1 is the strongest authority, node 0 the strongest hub
+    assert max(a, key=a.get) == 1
+    assert max(h, key=h.get) == 0
