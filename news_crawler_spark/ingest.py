@@ -385,6 +385,26 @@ class ParagraphState:
         self.paragraphs.overwrite(self.paragraphs.read())
         return {"paragraph_rows": n}
 
+    # -- streaming --------------------------------------------------------
+    def ingest_stream(self, stream: DataFrame, checkpoint_dir: str,
+                      batch_prefix: str = "stream", *,
+                      available_now: bool = True):
+        """Paragraph-granularity ingest as a Structured Streaming sink
+        — the same foreachBatch + idempotent-batch-id exactly-once
+        contract as :meth:`DedupState.ingest_stream` (see there for
+        the redelivery/replay argument)."""
+
+        def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+            self.ingest(batch_df, f"{batch_prefix}-{epoch_id}")
+
+        writer = (stream.writeStream
+                  .foreachBatch(_sink)
+                  .option("checkpointLocation", checkpoint_dir)
+                  .queryName(f"para_ingest_{batch_prefix}"))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     # -- ingest -----------------------------------------------------------
     def ingest(self, batch: DataFrame, batch_id: str) -> DataFrame:
         """Classify ``batch`` and return per-doc verdict rows

@@ -122,3 +122,38 @@ def test_paragraph_state_compact_preserves_state(spark, tmp_path):
     after = {(r["fp"], r["doc_id"], r["pos"])
              for r in st.paragraphs.read().collect()}
     assert after == before
+
+
+def test_paragraph_stream_ingest_matches_batch(spark, tmp_path):
+    """File-source stream drained one file per micro-batch must land
+    the same verdicts and state as the batch path (foreachBatch +
+    idempotent batch ids)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, bid in enumerate(("b0", "b1", "b2")):
+        rows = BATCHES[bid]
+        path = os.path.join(str(src), f"{i}_{bid}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        }), path)
+        os.utime(path, (1_000_000 + i * 1000,) * 2)
+
+    st = ParagraphState(spark, str(tmp_path / "state"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = st.ingest_stream(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    assert st.committed_batches() == ["stream-0", "stream-1", "stream-2"]
+    want, seen = _serial(("b0", "b1", "b2"))
+    got = {r["doc_id"]: (r["n_paras"], r["n_new"], r["new_frac"])
+           for r in st.verdicts.read()
+           .select("doc_id", "n_paras", "n_new", "new_frac").collect()}
+    assert got == want
+    assert st.paragraphs.read().count() == len(seen)
