@@ -2325,6 +2325,33 @@ def q_hits_authority(spark, sf_dir):
     return scores.orderBy(F.col("auth").desc(), "node").limit(30)
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX archive-index generation (sources/warc.py cdx_records):
+    each fetched document becomes the (SURT key, 14-digit timestamp,
+    url, payload digest, length) row a web archive's index server
+    scans — the step that makes a WARC corpus randomly accessible.
+    The documents table plays the fetch log: URL synthesized from
+    (source, doc_id), capture time-of-day from n_chars, digest =
+    sha256(text). Pure native expressions (projection only — zero
+    shuffles before the presentation sort)."""
+    from news_crawler_spark.sources.warc import cdx_records
+
+    d = _t(spark, sf_dir, "documents")
+    s = F.col("n_chars") % 86400
+    ts14 = F.concat(
+        F.lit("20260101"),
+        F.lpad(F.floor(s / 3600).cast("string"), 2, "0"),
+        F.lpad((F.floor(s / 60) % 60).cast("string"), 2, "0"),
+        F.lpad((s % 60).cast("string"), 2, "0"))
+    recs = d.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/docs/"), F.col("doc_id")).alias("url"),
+        ts14.alias("ts14"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+        F.col("n_chars").alias("length"))
+    return cdx_records(recs).orderBy("surt", "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2455,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_verify": q_edit_distance_verify,
         "recrawl_intervals": q_recrawl_intervals,
         "hits_authority": q_hits_authority,
+        "cdx_index": q_cdx_index,
     }
 
 
@@ -4193,5 +4221,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT a2.node, a2.a AS auth, h2.h AS hub
             FROM a2 LEFT JOIN h2 USING (node)
             ORDER BY auth DESC, node LIMIT 30
+        """,
+        "cdx_index": """
+            WITH u AS (
+              SELECT 'https://' || source || '.example.com/docs/' || doc_id
+                       AS url,
+                     source || '.example.com' AS host,
+                     '/docs/' || doc_id AS path,
+                     '20260101'
+                       || lpad(CAST((n_chars % 86400) // 3600 AS VARCHAR),
+                               2, '0')
+                       || lpad(CAST(((n_chars % 86400) // 60) % 60 AS VARCHAR),
+                               2, '0')
+                       || lpad(CAST(n_chars % 60 AS VARCHAR), 2, '0') AS ts14,
+                     sha256(text) AS digest,
+                     CAST(n_chars AS BIGINT) AS length
+              FROM documents)
+            SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+                     || ')' || path AS surt,
+                   ts14, url, digest, length
+            FROM u ORDER BY surt, url
         """,
     }
