@@ -2352,6 +2352,71 @@ def q_cdx_index(spark, sf_dir):
     return cdx_records(recs).orderBy("surt", "url")
 
 
+def q_host_budget_allocation(spark, sf_dir):
+    """Per-host fetch-budget apportionment (crawl/budget.py
+    allocate_host_budget): a round's 10,000 fetch slots split across
+    hosts by largest-remainder (Hamilton) apportionment over priority
+    mass — sums to the budget EXACTLY, every host keeps a floor slot,
+    ties break on host name so resumed rounds recompute the identical
+    plan. The documents table plays the frontier aggregate: host from
+    source, mass = total pending chars. The remainder rank uses the
+    two-phase range-partition pattern, never a one-task window."""
+    from news_crawler_spark.crawl.budget import allocate_host_budget
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.groupBy(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    ).agg(F.sum("n_chars").alias("mass"))
+    return allocate_host_budget(hosts, 10000).orderBy("host")
+
+
+def q_crawl_trap_hosts(spark, sf_dir):
+    """Crawl-trap detection (crawl/traps.py trap_signals): hosts whose
+    URL space explodes without new templates — the guard a
+    link-following frontier needs against calendar/session-id traps.
+    The events table plays the seen-URL log: five synthetic hosts mint
+    paths from per-event counters (one template, hundreds of paths —
+    traps), the rest serve a fixed letter-keyed page set (template ==
+    path — organic). One map-side-combinable groupBy on host."""
+    from news_crawler_spark.crawl.traps import trap_signals
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(F.lit("h"),
+                 (F.col("user_id") % 37).cast("string")).alias("host"),
+        F.when(
+            F.col("user_id") % 37 < 5,
+            F.concat(F.lit("/cal/"), (F.col("event_id") % 500).cast("string"),
+                     F.lit("/d/"), (F.col("event_id") % 31).cast("string")))
+        .otherwise(F.concat(
+            F.lit("/sec/"),
+            F.expr("substr('abcdefg', cast(user_id % 7 as int) + 1, 1)"),
+            F.lit("/page/"),
+            F.expr("substr('vwxyz', cast(event_id % 5 as int) + 1, 1)")))
+        .alias("path"))
+    return trap_signals(urls).orderBy("host")
+
+
+def q_anchor_text_topk(spark, sf_dir):
+    """Per-target anchor-text profile (operators/anchors.py
+    anchor_text_profile): the terms the web uses to describe each
+    link target — the ranking/pretraining signal the reference drops
+    when it keeps only (title, href). Documents play the edge list:
+    each doc links to a hash-assigned host, anchor = its first 48
+    chars. One Generate + one map-side-combinable groupBy + a
+    per-target (never global) top-k window."""
+    from news_crawler_spark.operators.anchors import anchor_text_profile
+
+    d = _t(spark, sf_dir, "documents")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.concat(F.lit("h"), (F.col("n_chars") % 40).cast("string"))
+         .alias("dst"),
+        F.substring(F.col("text"), 1, 48).alias("anchor"))
+    prof = anchor_text_profile(edges, top_terms=5)
+    return prof.orderBy("dst", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2483,6 +2548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_intervals": q_recrawl_intervals,
         "hits_authority": q_hits_authority,
         "cdx_index": q_cdx_index,
+        "host_budget_allocation": q_host_budget_allocation,
+        "crawl_trap_hosts": q_crawl_trap_hosts,
+        "anchor_text_topk": q_anchor_text_topk,
     }
 
 
@@ -4241,5 +4309,85 @@ def oracle_sql() -> dict[str, str]:
                      || ')' || path AS surt,
                    ts14, url, digest, length
             FROM u ORDER BY surt, url
+        """,
+        "host_budget_allocation": """
+            WITH hosts AS (
+              SELECT source || '.example.com' AS host,
+                     CAST(sum(n_chars) AS BIGINT) AS mass
+              FROM documents GROUP BY source),
+            t AS (SELECT sum(mass) AS tot, count(*) AS n FROM hosts),
+            s AS (
+              SELECT host, mass, (10000 - t.n) AS rem,
+                     CAST((10000 - t.n)
+                          * (CASE WHEN t.tot > 0 THEN mass ELSE 1 END)
+                          AS DOUBLE)
+                       / CAST(CASE WHEN t.tot > 0 THEN t.tot ELSE t.n END
+                              AS DOUBLE) AS ideal
+              FROM hosts, t),
+            f AS (
+              SELECT host, mass, rem, floor(ideal) AS whole,
+                     ideal - floor(ideal) AS frac
+              FROM s),
+            g AS (SELECT sum(whole) AS given FROM f),
+            r AS (SELECT f.*, row_number()
+                            OVER (ORDER BY frac DESC, host) AS rk
+                  FROM f)
+            SELECT host, mass,
+                   CAST(1 + whole
+                        + CASE WHEN rk <= (rem - (SELECT given FROM g))
+                               THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM r ORDER BY host
+        """,
+        "crawl_trap_hosts": """
+            WITH u AS (
+              SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS host,
+                     CASE WHEN user_id % 37 < 5
+                          THEN '/cal/' || CAST(event_id % 500 AS VARCHAR)
+                               || '/d/' || CAST(event_id % 31 AS VARCHAR)
+                          ELSE '/sec/'
+                               || substr('abcdefg',
+                                         CAST(user_id % 7 AS INT) + 1, 1)
+                               || '/page/'
+                               || substr('vwxyz',
+                                         CAST(event_id % 5 AS INT) + 1, 1)
+                     END AS path
+              FROM events),
+            t AS (
+              SELECT host, path,
+                     regexp_replace(
+                       regexp_replace(path, '[0-9a-f]{8,}', 'H', 'g'),
+                       '[0-9]+', 'N', 'g') AS tmpl,
+                     len(string_split(path, '/')) - 1 AS depth
+              FROM u)
+            SELECT host,
+                   count(*) AS n_urls,
+                   count(DISTINCT path) AS n_paths,
+                   count(DISTINCT tmpl) AS n_templates,
+                   max(depth) AS max_depth,
+                   round(count(DISTINCT path) / count(DISTINCT tmpl), 6)
+                     AS trap_ratio,
+                   (round(count(DISTINCT path) / count(DISTINCT tmpl), 6)
+                      >= 8.0
+                    AND count(*) >= 20) AS is_trap
+            FROM t GROUP BY host ORDER BY host
+        """,
+        "anchor_text_topk": """
+            WITH e AS (
+              SELECT 'h' || CAST(n_chars % 40 AS VARCHAR) AS dst,
+                     substr(text, 1, 48) AS anchor
+              FROM documents),
+            tok0 AS (
+              SELECT dst,
+                     unnest(string_split_regex(lower(anchor),
+                                               '[^a-z0-9]+')) AS term
+              FROM e),
+            tok AS (SELECT dst, term FROM tok0 WHERE len(term) >= 2),
+            c AS (SELECT dst, term, count(*) AS n_links
+                  FROM tok GROUP BY dst, term),
+            r AS (SELECT c.*, row_number() OVER
+                    (PARTITION BY dst ORDER BY n_links DESC, term) AS rank
+                  FROM c)
+            SELECT dst, term, n_links, rank
+            FROM r WHERE rank <= 5 ORDER BY dst, rank
         """,
     }
