@@ -1,0 +1,166 @@
+"""Product-quantization ANN (Jégou et al. 2011): the compression half
+of the IVF-PQ index every billion-vector system runs.
+
+The corpus never ships full vectors past the encode step: each
+embedding becomes ``m`` small integer codes (here 4 × 3 bits — at
+100 TB that is the difference between shuffling/scanning 256 B/vector
+and 4-16 B/vector), and search scores queries against CODES via
+asymmetric distance computation (ADC) — per subspace, the distance
+from the query's subvector to the corpus row's assigned codeword,
+summed. Compose with ``similarity.ivf_assign`` for the full IVF-PQ
+shape (cell filter first, ADC inside probed cells); this module keeps
+the two halves orthogonal.
+
+Engine shape, same contract as ivf_assign (operators/similarity.py):
+
+* codebooks are tiny by construction (m × ks codewords) → column
+  LITERALS; encode is Project/Generate only — ZERO joins/shuffles of
+  the corpus (plan-asserted in tests/test_pq.py);
+* determinism: every per-subspace distance is rounded (6 dp) before
+  any argmin/ordering, ties break on code/neighbor id, and the
+  codeword self-dot is precomputed driver-side with the same
+  left-fold order as the engine-side dot — so a SQL oracle replays
+  assignments and rankings value-exactly;
+* the row-constant ``||x_sub||²`` term is OMITTED from the encode
+  argmin (it shifts every codeword's distance equally) — fewer
+  interpreted HOF ops and one less place for rounding to diverge;
+* per-row subvector slices and casts are staged behind a Generate
+  barrier (explode of a 1-element array) so CollapseProject cannot
+  re-inline the O(dim) work into every codeword comparison (the
+  HOF-recompute trap, see [[spark4-gotchas]] in SNIPPETS lineage).
+
+Reference: the reference repo has no vector search at all; this is
+part of the beyond-reference similarity family (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Strict left-fold dot product — index order, so any engine that
+    sums a zipped list sequentially reproduces the exact double."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codebooks(corpus: DataFrame, m: int = 4, ks: int = 8,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list[list[tuple[list[float], float]]]:
+    """Deterministic codebooks: subspace j's codewords are the j-th
+    subvectors of the first ``ks`` corpus vectors (id order) — the
+    same replayable-training trick ivf_assign uses for centroids (a
+    k-means refinement would drop in via kmeans_fit without changing
+    the encode/search contract). Returns cb[j][code] = (cvec, cc)
+    with cc = <cvec, cvec> accumulated in index order."""
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col).limit(ks)
+            .collect())
+    if len(rows) < ks:
+        raise ValueError(f"corpus has {len(rows)} rows < ks={ks}")
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cbs: list[list[tuple[list[float], float]]] = []
+    for j in range(m):
+        book = []
+        for r in rows:
+            cvec = [float(x) for x in r[vec_col][j * dsub:(j + 1) * dsub]]
+            cc = 0.0
+            for x in cvec:
+                cc += x * x
+            book.append((cvec, cc))
+        cbs.append(book)
+    return cbs
+
+
+def _stage_subs(df: DataFrame, vec_col: str, m: int, dsub: int,
+                out: str) -> DataFrame:
+    """Cast to double and pre-slice the m subvectors ONCE per row,
+    behind a Generate barrier."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    subs = F.array(*[F.slice(vd, j * dsub + 1, dsub) for j in range(m)])
+    return df.select(
+        "*", F.explode(F.array(subs)).alias(out))
+
+
+def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Corpus → (id, codes:array<int>). Zero shuffles: codebooks are
+    literals, the plan over the corpus is Project/Generate only."""
+    m, ks = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0][0])
+    staged = _stage_subs(corpus, vec_col, m, dsub, "_subs")
+
+    def argmin_code(j: int) -> F.Column:
+        cb_lit = F.array(*[
+            F.struct(
+                F.lit(code).alias("code"),
+                F.array(*[F.lit(x) for x in cvec]).alias("cvec"),
+                F.lit(cc).alias("cc"))
+            for code, (cvec, cc) in enumerate(codebooks[j])])
+        vsub = F.element_at("_subs", j + 1)
+        scored = F.transform(cb_lit, lambda c: F.struct(
+            # ||x-c||² minus the row-constant ||x||²: cc - 2<x,c>
+            F.round(c.getField("cc") - 2 * _dot(vsub, c.getField("cvec")), 6)
+             .alias("d"),
+            c.getField("code").alias("code")))
+        # struct natural order: (rounded distance asc, code asc)
+        return F.element_at(F.array_sort(scored), 1).getField("code")
+
+    return staged.select(
+        F.col(id_col).alias("id"),
+        F.array(*[argmin_code(j) for j in range(m)]).alias("codes"))
+
+
+def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebooks,
+                k: int = 5, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """ADC search: broadcast the (small) query set against the encoded
+    corpus — the corpus side moves only (id, m codes), never vectors.
+    adist = Σ_j round(<q_j,q_j> + cc_{j,code} - 2<q_j, c_{j,code}>, 6),
+    summed in subspace order and rounded again, so the ranking is a
+    pure function of (query, codes) in any engine. Returns
+    (query_id, neighbor_id, adist, rnk) with rnk ≤ k per query; the
+    per-query window partitions on query_id (each query ranks its own
+    candidate list — no global sort)."""
+    m, ks = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0][0])
+    q = _stage_subs(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        vec_col, m, dsub, "_qsubs",
+    ).select("query_id", "_qsubs")
+    pairs = codes.crossJoin(F.broadcast(q))  # tiny × corpus, nested-loop
+
+    def term(j: int) -> F.Column:
+        cb_lit = F.array(*[
+            F.struct(F.array(*[F.lit(x) for x in cvec]).alias("cvec"),
+                     F.lit(cc).alias("cc"))
+            for cvec, cc in codebooks[j]])
+        qsub = F.element_at("_qsubs", j + 1)
+        cw = F.element_at(cb_lit, F.element_at("codes", j + 1) + 1)
+        return F.round(
+            _dot(qsub, qsub) + cw.getField("cc")
+            - 2 * _dot(qsub, cw.getField("cvec")), 6)
+
+    adist = F.lit(0.0)
+    for j in range(m):  # explicit left-assoc chain == subspace order
+        adist = adist + term(j)
+    scored = (pairs.where(F.col("query_id") != F.col("id"))
+              .select("query_id", F.col("id").alias("neighbor_id"),
+                      F.round(adist, 6).alias("adist")))
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+            m: int = 4, ks: int = 8, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Convenience end-to-end: train codebooks, encode, ADC-search."""
+    cbs = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col)
+    return pq_adc_topk(queries, codes, cbs, k=k, id_col=id_col,
+                       vec_col=vec_col)
