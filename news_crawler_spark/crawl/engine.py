@@ -72,7 +72,8 @@ class CrawlEngine:
                  n_salts: int = 8, use_bloom: bool = True,
                  bloom_shards: int = 16, bloom_min_resolved: int = 2_000_000,
                  retry_jitter_span: int = 0, compact_ratio: float = 4.0,
-                 compact_min_resolved: int = 100_000):
+                 compact_min_resolved: int = 100_000,
+                 archive_dir: str | None = None):
         self.spark = spark
         self.hosts = hosts
         self.fetcher = fetcher
@@ -95,6 +96,12 @@ class CrawlEngine:
         # scans that were already cheap. compact_ratio=0 disables.
         self.compact_ratio = compact_ratio
         self.compact_min_resolved = compact_min_resolved
+        # optional WET-style archive: each round's ok-fetches also land
+        # as WARC conversion segments under archive_dir/round-NNNNNNNN.
+        # Archives live OUTSIDE lineage on purpose — they are derived
+        # data (replaying a round rewrites byte-identical records), so
+        # kill/resume never needs to roll them back.
+        self.archive_dir = archive_dir
         self.compactions = 0
         self._frontier_rows = 0          # rows in the frontier table
         self._resolved_in_frontier = 0   # ... of which already resolved
@@ -126,6 +133,66 @@ class CrawlEngine:
     def crawl_log_df(self) -> DataFrame:
         """(round, host, seq, url) — the crawl-order invariant."""
         return self.resolved.read().select("round", "host", "seq", "url")
+
+    def trap_report(self, ratio_threshold: float = 8.0,
+                    min_urls: int = 20) -> DataFrame:
+        """Trap signals over every URL the crawl has resolved
+        (crawl/traps.py): path/template explosion per host. Detection
+        only — the operator's contract — so the caller decides whether
+        flagged hosts enter the exclusion rules (K4) or just lose
+        budget; read-only over the resolved table."""
+        from news_crawler_spark.crawl.traps import trap_signals
+
+        urls = self.resolved.read().select(
+            "host",
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1),
+                    F.lit("")),
+                F.lit("/"),
+            ).alias("path"))
+        return trap_signals(urls, ratio_threshold=ratio_threshold,
+                            min_urls=min_urls)
+
+    def plan_budgets(self, total_budget: int, floor: int = 1) -> DataFrame:
+        """Advisory per-host slot plan for the next round
+        (crawl/budget.py allocate_host_budget): pending frontier
+        priority mass → largest-remainder split that sums to
+        total_budget exactly. The ×1000 ceil quantizes the double
+        priority sum so last-ulp aggregation-order noise can't flip a
+        remainder rank. Advisory: selection still enforces the hosts
+        table's hard caps; this plans how a global round budget SHOULD
+        spread before those caps bite."""
+        from news_crawler_spark.crawl.budget import allocate_host_budget
+
+        mass = (self._pending(self.next_round)
+                .groupBy("host")
+                .agg(F.ceil(F.sum("priority") * 1000).cast("long")
+                     .alias("mass")))
+        return allocate_host_budget(mass, total_budget, floor=floor)
+
+    def _archive_round(self, round_no: int, ok_rows: DataFrame) -> list[dict]:
+        """WET-style WARC conversion archive of a round's ok-fetches
+        (sources/warc.py): payload = the flattened span text (P3), one
+        segment per partition under archive_dir/round-NNNNNNNN. The
+        record date derives from the round number, not the clock, so a
+        replayed round re-serializes byte-identical records."""
+        from news_crawler_spark.operators.spanops import flatten_text
+        from news_crawler_spark.sources.warc import write_warc
+
+        date = (
+            _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+            + _dt.timedelta(seconds=round_no)
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        flat = flatten_text(ok_rows.select("doc_id", "spans"))
+        recs = flat.select(
+            F.col("doc_id").alias("url"),
+            F.lit(date).alias("warc_date"),
+            F.lit("text/plain").alias("content_type"),
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+             .alias("payload"))
+        out = os.path.join(self.archive_dir, f"round-{round_no:08d}")
+        return write_warc(recs, out, warc_type="conversion")
 
     # -- lifecycle --------------------------------------------------------
     def init(self, seeds: DataFrame) -> None:
@@ -395,6 +462,11 @@ class CrawlEngine:
                 f.result()
             blobs = blob_fut.result() if blob_fut is not None else None
         t["state_appends"] = round(time.perf_counter() - t1, 3)
+
+        if self.archive_dir is not None and os.path.isdir(ok_dir):
+            t1 = time.perf_counter()
+            self._archive_round(r, staged.filter(F.col("disposition") == "ok"))
+            t["archive"] = round(time.perf_counter() - t1, 3)
 
         t1 = time.perf_counter()
         if blobs is not None:

@@ -146,7 +146,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(run, schema=WARC_RECORD)
 
 
-def write_warc(df: DataFrame, out_dir: str) -> list[dict]:
+def write_warc(df: DataFrame, out_dir: str,
+               warc_type: str = "response") -> list[dict]:
     """Distributed WARC write: each partition of ``df`` (columns
     url, warc_date, content_type, payload:binary) becomes one segment
     ``part-{pid:05d}.warc`` written executor-side; returns the
@@ -166,7 +167,8 @@ def write_warc(df: DataFrame, out_dir: str) -> list[dict]:
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                buf += record_bytes(r.url, r.warc_date, r.content_type, payload)
+                buf += record_bytes(r.url, r.warc_date, r.content_type,
+                                    payload, warc_type=warc_type)
                 digest.update(payload)
                 n_rec += 1
         if n_rec == 0:
