@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "edit_distance_verify",
     "corpus_report",
     "recrawl_intervals",
+    "cdx_index",
+    "host_budget_allocation",
+    "crawl_trap_hosts",
+    "anchor_text_topk",
+    "pq_ann",
 ]
 
 
