@@ -2433,6 +2433,25 @@ def q_pq_ann(spark, sf_dir):
             .orderBy("query_id", "rnk"))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py bpe_train,
+    Sennrich et al. 2016): 3 merge steps over the corpus word table —
+    pair counts are one partial-agg groupBy per step, the argmax merge
+    is a 1-row driver literal (the kmeans/hits replayable-trajectory
+    contract), and the paren-wrapped symbol encoding makes literal
+    replacement exactly a greedy merge pass in any engine. Integer
+    counts + lexicographic ties: no floating point anywhere."""
+    from news_crawler_spark.operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.col("text")),
+                                   "[^a-z0-9]+")).alias("word"))
+        .where((F.length("word") >= 2) & (F.length("word") <= 12))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    return bpe_train(words, n_merges=3).orderBy("step")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2568,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "anchor_text_topk": q_anchor_text_topk,
         "pq_ann": q_pq_ann,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -4451,5 +4471,64 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY adist, neighbor_id) AS rnk
             FROM pairs QUALIFY rnk <= 5 ORDER BY query_id, rnk
+        """,
+        "bpe_merges": """
+            WITH w0 AS (
+              SELECT word, count(*) AS cnt FROM (
+                SELECT unnest(string_split_regex(lower(text),
+                                                 '[^a-z0-9]+')) AS word
+                FROM documents)
+              WHERE len(word) BETWEEN 2 AND 12 GROUP BY word),
+            s0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS sym,
+                          cnt FROM w0),
+            l0 AS (SELECT regexp_extract_all(sym, '\\(([^)]*)\\)', 1) AS l,
+                          cnt FROM s0),
+            pc1 AS (SELECT l[i] || ' ' || l[i+1] AS pair,
+                           CAST(sum(cnt) AS BIGINT) AS c
+                    FROM l0, unnest(range(1, len(l))) AS t(i) GROUP BY 1),
+            m1 AS (SELECT pair, c, split_part(pair, ' ', 1) AS a,
+                          split_part(pair, ' ', 2) AS b
+                   FROM pc1 ORDER BY c DESC, pair LIMIT 1),
+            s1 AS (SELECT replace(sym, '('||m1.a||')('||m1.b||')',
+                                  '('||m1.a||m1.b||')') AS sym, cnt
+                   FROM s0, m1),
+            v1 AS (SELECT count(DISTINCT s) AS vs FROM (
+                     SELECT unnest(regexp_extract_all(
+                       sym, '\\(([^)]*)\\)', 1)) AS s FROM s1)),
+            l1 AS (SELECT regexp_extract_all(sym, '\\(([^)]*)\\)', 1) AS l,
+                          cnt FROM s1),
+            pc2 AS (SELECT l[i] || ' ' || l[i+1] AS pair,
+                           CAST(sum(cnt) AS BIGINT) AS c
+                    FROM l1, unnest(range(1, len(l))) AS t(i) GROUP BY 1),
+            m2 AS (SELECT pair, c, split_part(pair, ' ', 1) AS a,
+                          split_part(pair, ' ', 2) AS b
+                   FROM pc2 ORDER BY c DESC, pair LIMIT 1),
+            s2 AS (SELECT replace(sym, '('||m2.a||')('||m2.b||')',
+                                  '('||m2.a||m2.b||')') AS sym, cnt
+                   FROM s1, m2),
+            v2 AS (SELECT count(DISTINCT s) AS vs FROM (
+                     SELECT unnest(regexp_extract_all(
+                       sym, '\\(([^)]*)\\)', 1)) AS s FROM s2)),
+            l2 AS (SELECT regexp_extract_all(sym, '\\(([^)]*)\\)', 1) AS l,
+                          cnt FROM s2),
+            pc3 AS (SELECT l[i] || ' ' || l[i+1] AS pair,
+                           CAST(sum(cnt) AS BIGINT) AS c
+                    FROM l2, unnest(range(1, len(l))) AS t(i) GROUP BY 1),
+            m3 AS (SELECT pair, c, split_part(pair, ' ', 1) AS a,
+                          split_part(pair, ' ', 2) AS b
+                   FROM pc3 ORDER BY c DESC, pair LIMIT 1),
+            s3 AS (SELECT replace(sym, '('||m3.a||')('||m3.b||')',
+                                  '('||m3.a||m3.b||')') AS sym, cnt
+                   FROM s2, m3),
+            v3 AS (SELECT count(DISTINCT s) AS vs FROM (
+                     SELECT unnest(regexp_extract_all(
+                       sym, '\\(([^)]*)\\)', 1)) AS s FROM s3))
+            SELECT 1 AS step, m1.pair, m1.a || m1.b AS merged,
+                   m1.c AS pair_count, v1.vs AS vocab_size FROM m1, v1
+            UNION ALL
+            SELECT 2, m2.pair, m2.a || m2.b, m2.c, v2.vs FROM m2, v2
+            UNION ALL
+            SELECT 3, m3.pair, m3.a || m3.b, m3.c, v3.vs FROM m3, v3
+            ORDER BY step
         """,
     }

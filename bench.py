@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "crawl_trap_hosts",
     "anchor_text_topk",
     "pq_ann",
+    "bpe_merges",
 ]
 
 
