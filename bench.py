@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "anchor_text_topk",
     "pq_ann",
     "bpe_merges",
+    "trustrank_scores",
+    "corpus_snapshot_diff",
 ]
 
 
