@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "trustrank_scores",
     "corpus_snapshot_diff",
+    "label_propagation",
 ]
 
 
