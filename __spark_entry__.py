@@ -2552,6 +2552,57 @@ def q_label_propagation(spark, sf_dir):
     return community_sizes(label_propagation(edges, iterations=2), top=20)
 
 
+def q_sitemap_index_expand(spark, sf_dir):
+    """Two-level sitemap expansion (sources/sitemapindex.py): per
+    source, THREE child urlsets are synthesized from the documents
+    table and listed in a synthesized <sitemapindex>; the index parses
+    natively (from_xml), the child bodies join back on sitemap_loc,
+    and every urlset parses in one distributed Generate pass — the
+    index's lastmod rides along as the scheduler's freshness hint.
+    The oracle recomputes every expanded row from documents directly."""
+    from news_crawler_spark.sources.sitemapindex import (
+        expand_index,
+        parse_sitemap_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = F.pmod(F.col("doc_id"), F.lit(3))
+    item = F.concat(
+        F.lit("<url><loc>http://"), F.col("source"), F.lit(".test/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2025-02-"),
+        F.lpad((F.pmod(F.col("doc_id"), F.lit(27)) + 1).cast("string"),
+               2, "0"),
+        F.lit("</lastmod></url>"))
+    children = (
+        docs.groupBy(F.col("source").alias("src"), shard.alias("shard"))
+        .agg(F.concat(
+            F.lit("<urlset>"),
+            F.array_join(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("doc_id"), item.alias("x")))),
+                lambda s: s.getField("x")), ""),
+            F.lit("</urlset>")).alias("xml"))
+        .withColumn("sitemap_loc", F.concat(
+            F.lit("http://"), F.col("src"), F.lit(".test/sitemap-"),
+            F.col("shard").cast("string"), F.lit(".xml"))))
+    entry = F.concat(
+        F.lit("<sitemap><loc>"), F.col("sitemap_loc"),
+        F.lit("</loc><lastmod>2025-03-0"),
+        (F.col("shard") + 1).cast("string"),
+        F.lit("</lastmod></sitemap>"))
+    index = children.groupBy("src").agg(F.concat(
+        F.lit("<sitemapindex>"),
+        F.array_join(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("shard"), entry.alias("x")))),
+            lambda s: s.getField("x")), ""),
+        F.lit("</sitemapindex>")).alias("xml"))
+    idx = parse_sitemap_index(index.select("xml"))
+    out = expand_index(idx, children.select("sitemap_loc", "xml"))
+    return out.orderBy("loc")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2692,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "bpe_fertility": q_bpe_fertility,
         "label_propagation": q_label_propagation,
+        "sitemap_index_expand": q_sitemap_index_expand,
     }
 
 
@@ -4740,5 +4792,19 @@ def oracle_sql() -> dict[str, str]:
                      FROM v2) WHERE r = 1)
             SELECT label, CAST(count(*) AS BIGINT) AS size
             FROM l2 GROUP BY label ORDER BY size DESC, label LIMIT 20
+        """,
+        "sitemap_index_expand": """
+            SELECT 'http://' || source || '.test/sitemap-'
+                     || CAST(doc_id % 3 AS VARCHAR) || '.xml'
+                     AS sitemap_loc,
+                   CAST('2025-03-0' || CAST(doc_id % 3 + 1 AS VARCHAR)
+                        AS DATE) AS index_lastmod,
+                   'http://' || source || '.test/doc/' || doc_id AS loc,
+                   CAST('2025-02-' ||
+                        lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+                        AS DATE) AS lastmod,
+                   CAST(NULL AS VARCHAR) AS changefreq,
+                   CAST(NULL AS DOUBLE) AS priority
+            FROM documents ORDER BY loc
         """,
     }

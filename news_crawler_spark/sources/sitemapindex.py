@@ -1,0 +1,82 @@
+"""Sitemap INDEX parsing + two-level expansion.
+
+Large hosts don't serve one urlset — they serve a ``<sitemapindex>``
+of child sitemap locations (sitemaps.org caps a urlset at 50k URLs /
+50 MB, so any host worth a 10^10 frontier slot has an index). The
+reference never reads sitemaps at all (sources/sitemap.py covers the
+urlset half); this module adds the index half and the expansion join
+between them.
+
+Discovery and fetching stay decoupled, like robots gating: the index
+parse yields child-sitemap URLs (frontier rows for the normal fetch
+round), and ``expand_index`` joins the fetched child bodies back and
+parses every urlset in one distributed Generate pass. The index's
+``lastmod`` travels alongside each entry as ``index_lastmod`` — the
+freshness hint the scheduler uses when a child urlset omits per-URL
+lastmod (common in the wild).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from news_crawler_spark.sources.sitemap import parse_sitemap
+
+# sitemaps.org sitemapindex subset (loc required, lastmod optional)
+SITEMAP_INDEX_SCHEMA = "sitemap array<struct<loc:string, lastmod:string>>"
+
+
+def parse_sitemap_index(df: DataFrame, xml_col: str = "xml",
+                        keep_cols: list[str] | None = None) -> DataFrame:
+    """One row per child sitemap: (sitemap_loc, index_lastmod:date).
+    try_to_date for the same ANSI reason as parse_sitemap — one
+    malformed index must not crash the distributed pass."""
+    keep = keep_cols or []
+    rows = df.select(
+        *keep,
+        F.explode(
+            F.from_xml(F.col(xml_col), SITEMAP_INDEX_SCHEMA)
+            .getField("sitemap")).alias("_s"))
+    return rows.select(
+        *keep,
+        F.col("_s.loc").alias("sitemap_loc"),
+        F.try_to_date(F.col("_s.lastmod")).alias("index_lastmod"))
+
+
+def expand_index(index_rows: DataFrame, child_bodies: DataFrame,
+                 loc_col: str = "sitemap_loc",
+                 xml_col: str = "xml") -> DataFrame:
+    """Join fetched child-sitemap bodies onto parsed index rows and
+    parse every urlset: (sitemap_loc, index_lastmod, loc, lastmod,
+    changefreq, priority). ``child_bodies`` carries (sitemap_loc,
+    xml) from the fetch round; an index entry whose body never
+    arrived drops out of the join (it stays pending in the frontier —
+    correct, not an error)."""
+    joined = index_rows.select(loc_col, "index_lastmod").join(
+        child_bodies.select(loc_col, xml_col), loc_col)
+    return parse_sitemap(joined, xml_col=xml_col,
+                         keep_cols=[loc_col, "index_lastmod"])
+
+
+def warc_to_documents(records: DataFrame) -> DataFrame:
+    """Bridge WARC conversion/response records (sources/warc.py
+    read_warc output) into the north-rule documents shape
+    (doc_id, spans): doc_id = target URI, payload decodes to ONE text
+    span at offset 0. The loader that makes an archived crawl (ours or
+    Common Crawl WET) re-enter every operator in this engine —
+    dedup/quality/packing all consume exactly this shape. Pure native
+    expressions; media records (non-text content_type) become a media
+    span carrying the record id as media_ref."""
+    is_text = F.col("content_type").startswith("text/")
+    span = F.struct(
+        F.when(is_text, F.lit("text")).otherwise(F.lit("media"))
+         .alias("kind"),
+        F.when(is_text, F.decode(F.col("payload"), "UTF-8"))
+         .otherwise(F.lit("")).alias("text"),
+        F.when(is_text, F.lit(""))
+         .otherwise(F.col("record_id")).alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"))
+    return records.select(
+        F.col("url").alias("doc_id"),
+        F.array(span).alias("spans"))
