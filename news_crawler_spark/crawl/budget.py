@@ -73,7 +73,15 @@ def allocate_host_budget(hosts: DataFrame, total_budget: int,
 
     Requires total_budget >= floor * n_hosts; raises otherwise rather
     than silently under-allocating (the caller should shrink the live
-    host set or the floor — a policy decision).
+    host set or the floor — a policy decision). Also raises when
+    remaining_budget × total_mass approaches 2^62: past that the
+    exact-integer product the determinism guarantee rests on would
+    overflow (ANSI) or silently round through the double cast —
+    callers with byte/token-scale masses should pre-quantize to
+    coarser units. An EMPTY hosts table yields an empty plan (there
+    is nothing to allocate to, and a lazy plan cannot raise before an
+    action) — the exact-sum invariant is scoped to non-empty inputs,
+    so schedulers should treat an exhausted frontier upstream.
     """
     totals = hosts.agg(
         F.sum("mass").alias("_tot"),
@@ -87,16 +95,25 @@ def allocate_host_budget(hosts: DataFrame, total_budget: int,
     # breaking the exact-sum invariant)
     em = F.when(F.col("_tot") > 0, F.col("mass")).otherwise(F.lit(1))
     etot = F.when(F.col("_tot") > 0, F.col("_tot")).otherwise(F.col("_n"))
+    # overflow sentinel, checked in doubles (the check itself must not
+    # overflow): remaining*mass ≤ remaining*tot, so this bounds every
+    # product the exactness guarantee depends on; ideal is gated on it
+    # so ANSI never evaluates an overflowing multiply before the clean
+    # raise_error below fires
+    ovf = (remaining.cast("double") * etot.cast("double")
+           >= F.lit(float(2 ** 62)))
     # exact-integer product, then ONE double division: the same
     # expression tree in any engine yields the same double, so the
     # floor/remainder split below can't diverge between replicas
-    ideal = (remaining * em).cast("double") / etot.cast("double")
+    ideal = F.when(~ovf, (remaining * em).cast("double")
+                   / etot.cast("double")).otherwise(F.lit(0.0))
     scored = j.select(
         "host", "mass",
         F.col("_n").alias("_nh"),
         F.floor(ideal).alias("_whole"),
         (ideal - F.floor(ideal)).alias("_frac"),
         remaining.alias("_rem"),
+        ovf.alias("_ovf"),
     )
 
     ranked = _remainder_rank(scored)
@@ -115,5 +132,11 @@ def allocate_host_budget(hosts: DataFrame, total_budget: int,
         F.raise_error(F.concat(
             F.lit("total_budget < floor * n_hosts ("),
             F.col("_nh").cast("string"), F.lit(" hosts)")))
+    ).when(
+        F.col("_ovf"),
+        F.raise_error(F.lit(
+            "remaining_budget x total_mass >= 2^62: exact-integer "
+            "apportionment would overflow — pre-quantize masses to "
+            "coarser units"))
     ).otherwise(alloc)
     return w.select("host", "mass", guarded.cast("long").alias("alloc"))

@@ -166,9 +166,15 @@ class CrawlEngine:
         from news_crawler_spark.crawl.budget import allocate_host_budget
 
         mass = (self._pending(self.next_round)
-                .groupBy("host")
-                .agg(F.ceil(F.sum("priority") * 1000).cast("long")
-                     .alias("mass")))
+                .select("host",
+                        # quantize PER ROW, then sum longs: integer
+                        # partial sums commute, so the plan is identical
+                        # at any partitioning — a double F.sum here was
+                        # aggregation-order dependent and ceil amplified
+                        # last-ulp noise exactly at integer boundaries
+                        F.round(F.col("priority") * 1000).cast("long")
+                        .alias("_q"))
+                .groupBy("host").agg(F.sum("_q").alias("mass")))
         return allocate_host_budget(mass, total_budget, floor=floor)
 
     def _archive_round(self, round_no: int, ok_rows: DataFrame) -> list[dict]:
@@ -184,6 +190,14 @@ class CrawlEngine:
             _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
             + _dt.timedelta(seconds=round_no)
         ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        out = os.path.join(self.archive_dir, f"round-{round_no:08d}")
+        # wipe any aborted attempt's segments first: a replay can stage
+        # into a different partition count, and byte-identical rewrite
+        # only holds per segment — stale part files from a wider
+        # attempt would otherwise duplicate records on read
+        import shutil as _shutil
+
+        _shutil.rmtree(out, ignore_errors=True)
         flat = flatten_text(ok_rows.select("doc_id", "spans"))
         recs = flat.select(
             F.col("doc_id").alias("url"),
@@ -191,7 +205,6 @@ class CrawlEngine:
             F.lit("text/plain").alias("content_type"),
             F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
              .alias("payload"))
-        out = os.path.join(self.archive_dir, f"round-{round_no:08d}")
         return write_warc(recs, out, warc_type="conversion")
 
     # -- lifecycle --------------------------------------------------------

@@ -35,9 +35,14 @@ def trustrank(edges: DataFrame, seeds: DataFrame, src: str = "src",
     if not 1 <= damping_pct <= 99:
         raise ValueError(f"damping_pct in [1, 99], got {damping_pct}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node"))).distinct())
     seed_set = seeds.select(F.col("node")).distinct()
+    # seeds OUTSIDE the edge list stay in the node set: they hold
+    # their teleport share every iteration (no out-edges → dangling,
+    # mass not redistributed, same policy as pagerank) instead of
+    # silently vanishing while still diluting base/init for the rest
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .union(seed_set).distinct())
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
     n_seeds = seed_set.count()
     if n_seeds == 0:

@@ -57,26 +57,3 @@ def expand_index(index_rows: DataFrame, child_bodies: DataFrame,
         child_bodies.select(loc_col, xml_col), loc_col)
     return parse_sitemap(joined, xml_col=xml_col,
                          keep_cols=[loc_col, "index_lastmod"])
-
-
-def warc_to_documents(records: DataFrame) -> DataFrame:
-    """Bridge WARC conversion/response records (sources/warc.py
-    read_warc output) into the north-rule documents shape
-    (doc_id, spans): doc_id = target URI, payload decodes to ONE text
-    span at offset 0. The loader that makes an archived crawl (ours or
-    Common Crawl WET) re-enter every operator in this engine —
-    dedup/quality/packing all consume exactly this shape. Pure native
-    expressions; media records (non-text content_type) become a media
-    span carrying the record id as media_ref."""
-    is_text = F.col("content_type").startswith("text/")
-    span = F.struct(
-        F.when(is_text, F.lit("text")).otherwise(F.lit("media"))
-         .alias("kind"),
-        F.when(is_text, F.decode(F.col("payload"), "UTF-8"))
-         .otherwise(F.lit("")).alias("text"),
-        F.when(is_text, F.lit(""))
-         .otherwise(F.col("record_id")).alias("media_ref"),
-        F.lit(0).cast("int").alias("offset"))
-    return records.select(
-        F.col("url").alias("doc_id"),
-        F.array(span).alias("spans"))

@@ -148,13 +148,20 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_warc(df: DataFrame, out_dir: str,
                warc_type: str = "response") -> list[dict]:
-    """Distributed WARC write: each partition of ``df`` (columns
-    url, warc_date, content_type, payload:binary) becomes one segment
-    ``part-{pid:05d}.warc`` written executor-side; returns the
-    collected manifest (this IS the action — a sink, like
-    ``df.write``). Segment names come from the partition id and the
-    bytes are a deterministic function of the partition's rows, so a
-    retried task overwrites its own identical output."""
+    """WARC write: each partition of ``df`` (columns url, warc_date,
+    content_type, payload:binary) becomes one segment
+    ``part-{pid:05d}.warc``; returns the collected manifest (this IS
+    the action — a sink, like ``df.write``). Segment names come from
+    the partition id and the bytes are a deterministic function of
+    the partition's rows, so a retried task overwrites its own
+    identical output.
+
+    SCOPE: segments are written with plain file IO, so ``out_dir``
+    must be a filesystem every executor shares with the driver
+    (local mode, NFS/FUSE mounts). A multi-node object-store
+    deployment should route this through the Hadoop FS API + a
+    commit protocol instead — the record serialization
+    (``record_bytes``) is the part that carries over unchanged."""
     os.makedirs(out_dir, exist_ok=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -212,3 +219,26 @@ def cdx_records(df: DataFrame, url_col: str = "url", ts_col: str = "ts14",
         F.col(digest_col).alias("digest"),
         F.col(length_col).cast("long").alias("length"),
     )
+
+
+def warc_to_documents(records: DataFrame) -> DataFrame:
+    """Bridge WARC conversion/response records (sources/warc.py
+    read_warc output) into the north-rule documents shape
+    (doc_id, spans): doc_id = target URI, payload decodes to ONE text
+    span at offset 0. The loader that makes an archived crawl (ours or
+    Common Crawl WET) re-enter every operator in this engine —
+    dedup/quality/packing all consume exactly this shape. Pure native
+    expressions; media records (non-text content_type) become a media
+    span carrying the record id as media_ref."""
+    is_text = F.col("content_type").startswith("text/")
+    span = F.struct(
+        F.when(is_text, F.lit("text")).otherwise(F.lit("media"))
+         .alias("kind"),
+        F.when(is_text, F.decode(F.col("payload"), "UTF-8"))
+         .otherwise(F.lit("")).alias("text"),
+        F.when(is_text, F.lit(""))
+         .otherwise(F.col("record_id")).alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"))
+    return records.select(
+        F.col("url").alias("doc_id"),
+        F.array(span).alias("spans"))

@@ -28,13 +28,21 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     old_digest, new_digest). ``old``/``new`` must carry one row per
     key (dedup upstream — this operator reports state, it does not
     adjudicate duplicates)."""
-    o = old.select(F.col(key).alias(key), F.col(digest_col).alias("_od"))
-    n = new.select(F.col(key).alias(key), F.col(digest_col).alias("_nd"))
+    # presence travels as explicit markers, NEVER inferred from digest
+    # nullness: a NULL digest is a legal value (flatten_text yields
+    # NULL for media-only docs), and a key present on both sides with
+    # a NULL digest on one must read changed/unchanged, not
+    # added/removed
+    o = old.select(F.col(key).alias(key), F.col(digest_col).alias("_od"),
+                   F.lit(True).alias("_po"))
+    n = new.select(F.col(key).alias(key), F.col(digest_col).alias("_nd"),
+                   F.lit(True).alias("_pn"))
     j = o.join(n, key, "full_outer")
+    same = (F.col("_od").eqNullSafe(F.col("_nd")))
     status = (
-        F.when(F.col("_od").isNull(), "added")
-        .when(F.col("_nd").isNull(), "removed")
-        .when(F.col("_od") != F.col("_nd"), "changed")
+        F.when(F.col("_po").isNull(), "added")
+        .when(F.col("_pn").isNull(), "removed")
+        .when(~same, "changed")
         .otherwise("unchanged"))
     return j.select(
         key, status.alias("status"),

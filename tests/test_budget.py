@@ -62,6 +62,20 @@ def test_infeasible_budget_raises(spark):
         allocate_host_budget(df, 2, floor=1).collect()
 
 
+def test_mass_scale_overflow_raises_cleanly(spark):
+    # remaining x total_mass past 2^62 must fail with the pre-quantize
+    # message, never an ANSI ArithmeticException from the raw multiply
+    df = spark.createDataFrame(
+        [("a", 10**13), ("b", 10**13)], "host string, mass long")
+    with pytest.raises(Exception, match="pre-quantize"):
+        allocate_host_budget(df, 1_000_000).collect()
+
+
+def test_empty_hosts_yields_empty_plan(spark):
+    df = spark.createDataFrame([], "host string, mass long")
+    assert allocate_host_budget(df, 500).collect() == []
+
+
 def test_no_single_partition_exchange(spark):
     df = spark.createDataFrame(
         [(f"h{i}", i) for i in range(100)], "host string, mass long")

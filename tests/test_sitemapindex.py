@@ -10,8 +10,8 @@ from pyspark.sql import functions as F
 from news_crawler_spark.sources.sitemapindex import (
     expand_index,
     parse_sitemap_index,
-    warc_to_documents,
 )
+from news_crawler_spark.sources.warc import warc_to_documents
 
 INDEX_XML = (
     "<sitemapindex>"

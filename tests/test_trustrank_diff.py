@@ -52,6 +52,15 @@ def test_link_farm_starves_and_seeds_flagged(spark):
     assert rows[0].is_seed and rows[1].is_seed and not rows[2].is_seed
 
 
+def test_out_of_graph_seed_keeps_its_teleport_mass(spark):
+    e, _ = _graph(spark)
+    s = spark.createDataFrame([(0,), (99,)], "node long")  # 99 unlinked
+    rows = {r.node: r for r in trustrank(e, s, iterations=2).collect()}
+    base = ((100 - 85) * 10**12) // (100 * 2)
+    assert rows[99].trust_micro == base and rows[99].is_seed
+    assert rows[0].trust_micro >= base  # in-graph seed gains in-mass too
+
+
 def test_empty_seed_set_raises(spark):
     e, _ = _graph(spark)
     empty = e.sparkSession.createDataFrame([], "node long")
@@ -71,6 +80,20 @@ def test_snapshot_diff_statuses(spark):
     summary = {r.status: r.n for r in
                diff_summary(old, new, "doc_id").collect()}
     assert summary == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+
+def test_snapshot_diff_null_digest_is_a_value_not_absence(spark):
+    # flatten_text yields NULL digests for media-only docs: a key
+    # present on both sides with one NULL digest is changed, not
+    # added/removed; NULL on both sides is unchanged
+    old = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", "d3")], "doc_id string, digest string")
+    new = spark.createDataFrame(
+        [("a", "dX"), ("b", None), ("d", None)], "doc_id string, digest string")
+    got = {r.doc_id: r.status for r in
+           snapshot_diff(old, new, "doc_id").collect()}
+    assert got == {"a": "changed", "b": "unchanged", "c": "removed",
+                   "d": "added"}
 
 
 def test_table_diff_over_time_travel(spark, tmp_path):
