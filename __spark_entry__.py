@@ -4763,7 +4763,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
                    CASE WHEN o.doc_id IS NULL THEN 'added'
                         WHEN n.doc_id IS NULL THEN 'removed'
-                        WHEN od <> nd THEN 'changed'
+                        WHEN od IS DISTINCT FROM nd THEN 'changed'
                         ELSE 'unchanged' END AS status,
                    od AS old_digest, nd AS new_digest
             FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
