@@ -2603,6 +2603,45 @@ def q_sitemap_index_expand(spark, sf_dir):
     return out.orderBy("loc")
 
 
+def q_effective_crawl_rate(spark, sf_dir):
+    """Politeness × budget composition: the slots a host can actually
+    consume in a 300 s round = min(its Hamilton budget share,
+    round_seconds / its robots Crawl-delay) — sources/robots.py and
+    crawl/budget.py composed into the single number selection
+    enforces. delay_limited marks hosts whose robots policy, not the
+    budget, binds (the hosts where buying more budget does nothing).
+    Robots bodies are the q_robots_parse synthetic fixture; mass =
+    pending chars per host."""
+    from news_crawler_spark.crawl.budget import allocate_host_budget
+    from news_crawler_spark.sources.robots import parse_robots
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select("source").distinct()
+    body = F.concat(
+        F.lit("# synthetic policy\nUser-agent: otherbot\nDisallow: /bot-"),
+        F.col("source"),
+        F.lit("\n\nUser-agent: *\nDisallow: /priv-"), F.col("source"),
+        F.lit("  # inline\n"),
+        F.when(F.length("source") % 2 == 0,
+               F.concat(F.lit("Crawl-delay: "),
+                        (F.length("source") % 5 + 1).cast("string"),
+                        F.lit("\n"))).otherwise(F.lit("")),
+        F.lit("\nUser-agent: *\nDisallow: /x\n"),
+    )
+    robots = parse_robots(hosts.select("source", body.alias("body")),
+                          host_col="source").select("host", "crawl_delay")
+    mass = d.groupBy(F.col("source").alias("host")).agg(
+        F.sum("n_chars").alias("mass"))
+    alloc = allocate_host_budget(mass, 10000)
+    j = alloc.join(robots, "host", "left")
+    cap = F.floor(F.lit(300.0) / F.col("crawl_delay")).cast("long")
+    eff = (F.when(F.col("crawl_delay").isNull(), F.col("alloc"))
+           .otherwise(F.least(F.col("alloc"), cap)))
+    return j.select(
+        "host", "crawl_delay", "alloc", eff.alias("effective"),
+        (eff < F.col("alloc")).alias("delay_limited")).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2744,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "label_propagation": q_label_propagation,
         "sitemap_index_expand": q_sitemap_index_expand,
+        "effective_crawl_rate": q_effective_crawl_rate,
     }
 
 
@@ -4806,5 +4846,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS changefreq,
                    CAST(NULL AS DOUBLE) AS priority
             FROM documents ORDER BY loc
+        """,
+        "effective_crawl_rate": """
+            WITH hosts AS (
+              SELECT source AS host,
+                     CAST(sum(n_chars) AS BIGINT) AS mass
+              FROM documents GROUP BY source),
+            t AS (SELECT sum(mass) AS tot, count(*) AS n FROM hosts),
+            s AS (
+              SELECT host, mass, (10000 - t.n) AS rem,
+                     CAST((10000 - t.n)
+                          * (CASE WHEN t.tot > 0 THEN mass ELSE 1 END)
+                          AS DOUBLE)
+                       / CAST(CASE WHEN t.tot > 0 THEN t.tot ELSE t.n END
+                              AS DOUBLE) AS ideal
+              FROM hosts, t),
+            f AS (
+              SELECT host, mass, rem, floor(ideal) AS whole,
+                     ideal - floor(ideal) AS frac
+              FROM s),
+            g AS (SELECT sum(whole) AS given FROM f),
+            r AS (SELECT f.*, row_number()
+                            OVER (ORDER BY frac DESC, host) AS rk
+                  FROM f),
+            a AS (
+              SELECT host,
+                     CAST(1 + whole
+                          + CASE WHEN rk <= (rem - (SELECT given FROM g))
+                                 THEN 1 ELSE 0 END AS BIGINT) AS alloc
+              FROM r),
+            rb AS (
+              SELECT DISTINCT source AS host,
+                     CASE WHEN length(source) % 2 = 0
+                          THEN CAST(length(source) % 5 + 1 AS DOUBLE)
+                          ELSE NULL END AS crawl_delay
+              FROM documents),
+            x AS (
+              SELECT a.host, rb.crawl_delay, a.alloc,
+                     CASE WHEN rb.crawl_delay IS NULL THEN a.alloc
+                          ELSE least(a.alloc,
+                                     CAST(floor(300.0 / rb.crawl_delay)
+                                          AS BIGINT)) END AS effective
+              FROM a JOIN rb USING (host))
+            SELECT host, crawl_delay, alloc, effective,
+                   effective < alloc AS delay_limited
+            FROM x ORDER BY host
         """,
     }
