@@ -27,7 +27,8 @@ Engine shape, same contract as ivf_assign (operators/similarity.py):
 * per-row subvector slices and casts are staged behind a Generate
   barrier (explode of a 1-element array) so CollapseProject cannot
   re-inline the O(dim) work into every codeword comparison (the
-  HOF-recompute trap, see [[spark4-gotchas]] in SNIPPETS lineage).
+  HOF-recompute trap — documented at similarity.ivf_assign, which
+  hit it first).
 
 Reference: the reference repo has no vector search at all; this is
 part of the beyond-reference similarity family (SURVEY.md §2.8).
