@@ -2642,6 +2642,28 @@ def q_effective_crawl_rate(spark, sf_dir):
         (eff < F.col("alloc")).alias("delay_limited")).orderBy("host")
 
 
+def q_robots_sitemap_discovery(spark, sf_dir):
+    """Sitemap discovery from robots.txt (sources/sitemapindex.py
+    robots_sitemaps, RFC 9309 §2.3): the Sitemap: directives live
+    host-wide outside user-agent groups, and extracting them is how a
+    crawl finds a host's self-declared frontier with zero page
+    fetches — the first link of the robots → sitemap index → urlset
+    chain. Bodies synthesized per source with a lowercase directive
+    and a commented decoy; one explode + one anchored extract."""
+    from news_crawler_spark.sources.sitemapindex import robots_sitemaps
+
+    hosts = _t(spark, sf_dir, "documents").select("source").distinct()
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\nSitemap: http://"),
+        F.col("source"),
+        F.lit(".test/sitemap-index.xml\nsitemap: http://"),
+        F.col("source"),
+        F.lit(".test/news.xml\n# Sitemap: http://ignored.test/x.xml\n"))
+    return robots_sitemaps(
+        hosts.select(F.col("source").alias("host"), body.alias("body"))
+    ).orderBy("host", "sitemap_url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2784,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "sitemap_index_expand": q_sitemap_index_expand,
         "effective_crawl_rate": q_effective_crawl_rate,
+        "robots_sitemap_discovery": q_robots_sitemap_discovery,
     }
 
 
@@ -4891,5 +4914,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, crawl_delay, alloc, effective,
                    effective < alloc AS delay_limited
             FROM x ORDER BY host
+        """,
+        "robots_sitemap_discovery": """
+            WITH h AS (SELECT DISTINCT source FROM documents)
+            SELECT source AS host,
+                   'http://' || source || '.test/sitemap-index.xml'
+                     AS sitemap_url
+            FROM h
+            UNION ALL
+            SELECT source,
+                   'http://' || source || '.test/news.xml'
+            FROM h
+            ORDER BY host, sitemap_url
         """,
     }

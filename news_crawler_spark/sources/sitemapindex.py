@@ -27,6 +27,23 @@ from news_crawler_spark.sources.sitemap import parse_sitemap
 SITEMAP_INDEX_SCHEMA = "sitemap array<struct<loc:string, lastmod:string>>"
 
 
+def robots_sitemaps(df: DataFrame, host_col: str = "host",
+                    body_col: str = "body") -> DataFrame:
+    """``Sitemap:`` directives from robots.txt bodies — host-wide per
+    RFC 9309 §2.3 (they live OUTSIDE user-agent groups, which is why
+    this is not part of sources/robots.py's group-scoped parse). The
+    discovery link that chains robots → sitemap index → urlsets with
+    zero page fetches: one line explode + one anchored, RE2-safe
+    case-insensitive extract. Returns distinct (host, sitemap_url)."""
+    t = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), "\n")).alias("line"))
+    url = F.regexp_extract(F.col("line"), r"(?i)^\s*sitemap\s*:\s*(\S+)", 1)
+    return (t.select("host", url.alias("sitemap_url"))
+            .where(F.col("sitemap_url") != "")
+            .distinct())
+
+
 def parse_sitemap_index(df: DataFrame, xml_col: str = "xml",
                         keep_cols: list[str] | None = None) -> DataFrame:
     """One row per child sitemap: (sitemap_loc, index_lastmod:date).

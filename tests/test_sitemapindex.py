@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from news_crawler_spark.sources.sitemapindex import (
     expand_index,
     parse_sitemap_index,
+    robots_sitemaps,
 )
 from news_crawler_spark.sources.warc import warc_to_documents
 
@@ -81,3 +82,18 @@ def test_warc_to_documents_text_and_media(spark, tmp_path):
         warc_to_documents(read_warc(spark, out))).collect()}
     assert flat["http://a.test/p1"] == "hello spans"
     assert flat["http://a.test/img"] is None  # media-only doc → NULL
+
+
+def test_robots_sitemaps_directives(spark):
+    body = ("User-agent: *\nDisallow: /x\n"
+            "Sitemap: http://a.test/sm-index.xml\n"
+            "sitemap:   http://a.test/news.xml\n"  # lowercase + spaces
+            "# Sitemap: http://a.test/commented.xml\n"
+            "NotSitemap: http://a.test/no.xml\n"
+            "Sitemap: http://a.test/sm-index.xml\n")  # duplicate
+    got = sorted(
+        (r.host, r.sitemap_url) for r in robots_sitemaps(
+            spark.createDataFrame([("a.test", body)],
+                                  "host string, body string")).collect())
+    assert got == [("a.test", "http://a.test/news.xml"),
+                   ("a.test", "http://a.test/sm-index.xml")]
