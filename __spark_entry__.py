@@ -2664,6 +2664,41 @@ def q_robots_sitemap_discovery(spark, sf_dir):
     ).orderBy("host", "sitemap_url")
 
 
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted-index construction (operators/postings.py
+    build_postings): term → 'doc:pos,pos;doc:pos' posting lists with
+    document frequency — what a search tier builds so the reference's
+    grep-at-query-time keyword filters become index lookups at 10^10
+    pages. One posexplode (positions free from the ordinal, no
+    window) + two partial-combinable groupBys whose shuffle keys ARE
+    the index layout. min_df=5 prunes the hapax tail."""
+    from news_crawler_spark.operators.postings import build_postings
+
+    d = _t(spark, sf_dir, "documents")
+    return build_postings(d, min_df=5).orderBy("term")
+
+
+def q_mirror_content(spark, sf_dir):
+    """Mirrored-content detection: the same content class served from
+    more than one host — the dedup signal crawls use to collapse
+    mirror farms into one canonical host before spending budget.
+    Hosts and content classes are synthesized fixtures (host from
+    doc_id, class digest from a length bucket) so the grouping has
+    real multi-host classes to find; ONE map-side-combinable groupBy
+    on the digest."""
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 29).cast("string"))
+         .alias("host"),
+        F.sha2((F.col("n_chars") % 97).cast("string"), 256).alias("digest"))
+    g = rows.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.array_join(F.array_sort(F.collect_set("host")), ",")
+         .alias("hosts"))
+    return g.where(F.col("n_hosts") > 1).orderBy("digest")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2807,6 +2842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_index_expand": q_sitemap_index_expand,
         "effective_crawl_rate": q_effective_crawl_rate,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
+        "inverted_index": q_inverted_index,
+        "mirror_content": q_mirror_content,
     }
 
 
@@ -4926,5 +4963,45 @@ def oracle_sql() -> dict[str, str]:
                    'http://' || source || '.test/news.xml'
             FROM h
             ORDER BY host, sitemap_url
+        """,
+        "inverted_index": """
+            WITH tok AS (
+              SELECT doc, l[i] AS term, i - 1 AS pos
+              FROM (SELECT doc_id AS doc,
+                           string_split_regex(lower(text),
+                                              '[^a-z0-9]+') AS l
+                    FROM documents),
+                   unnest(range(1, len(l) + 1)) AS t(i)
+              WHERE len(l[i]) >= 2),
+            pd AS (
+              SELECT term, doc,
+                     string_agg(CAST(pos AS VARCHAR), ','
+                                ORDER BY pos) AS p
+              FROM tok GROUP BY term, doc),
+            pt AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df,
+                     string_agg(doc || ':' || p, ';' ORDER BY doc)
+                       AS postings
+              FROM pd GROUP BY term)
+            SELECT term, df, postings FROM pt
+            WHERE df >= 5 ORDER BY term
+        """,
+        "mirror_content": """
+            WITH rows0 AS (
+              SELECT 'h' || CAST(doc_id % 29 AS VARCHAR) AS host,
+                     sha256(CAST(n_chars % 97 AS VARCHAR)) AS digest
+              FROM documents),
+            dh AS (SELECT DISTINCT digest, host FROM rows0),
+            g AS (
+              SELECT r.digest,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST((SELECT count(*) FROM dh
+                           WHERE dh.digest = r.digest) AS BIGINT)
+                       AS n_hosts,
+                     (SELECT string_agg(host, ',' ORDER BY host)
+                      FROM dh WHERE dh.digest = r.digest) AS hosts
+              FROM rows0 r GROUP BY r.digest)
+            SELECT digest, n_docs, n_hosts, hosts
+            FROM g WHERE n_hosts > 1 ORDER BY digest
         """,
     }

@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "trustrank_scores",
     "corpus_snapshot_diff",
     "label_propagation",
+    "inverted_index",
+    "mirror_content",
 ]
 
 
