@@ -2699,6 +2699,21 @@ def q_mirror_content(spark, sf_dir):
     return g.where(F.col("n_hosts") > 1).orderBy("digest")
 
 
+def q_weighted_sample_topk(spark, sf_dir):
+    """Exact-k weighted sampling without replacement (operators/
+    wsample.py, Efraimidis & Spirakis 2006): key = u^(1/w), top-k
+    keys = the sample — the mixture-with-a-row-budget companion to
+    quality_weighted_sample's accept/reject. u is the repo-standard
+    sha 60-bit/2^60 engine-exact draw; the pow rounds to 12 dp with
+    id tiebreaks so libm last-ulp divergence can't flip membership.
+    Documents weighted by n_chars, k=50; plans as
+    TakeOrderedAndProject, never a global sort."""
+    from news_crawler_spark.operators.wsample import weighted_sample_k
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_k(d, "n_chars", 50, "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
     gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
@@ -2844,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "inverted_index": q_inverted_index,
         "mirror_content": q_mirror_content,
+        "weighted_sample_topk": q_weighted_sample_topk,
     }
 
 
@@ -5003,5 +5019,16 @@ def oracle_sql() -> dict[str, str]:
               FROM rows0 r GROUP BY r.digest)
             SELECT digest, n_docs, n_hosts, hosts
             FROM g WHERE n_hosts > 1 ORDER BY digest
+        """,
+        "weighted_sample_topk": """
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                     round(pow(
+                       ('0x' || substr(sha256('es|' || doc_id), 1, 15))
+                         ::BIGINT::DOUBLE / 1152921504606846976.0,
+                       1.0 / n_chars), 12) AS es_key
+              FROM documents WHERE n_chars > 0)
+            SELECT doc_id, n_chars, es_key
+            FROM s ORDER BY es_key DESC, doc_id LIMIT 50
         """,
     }
