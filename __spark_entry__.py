@@ -2322,7 +2322,7 @@ def q_hits_authority(spark, sf_dir):
         .distinct()
     )
     scores = hits_scores(edges, iterations=2)
-    return scores.orderBy(F.col("auth").desc(), "node").limit(30)
+    return scores.orderBy(F.col("auth").desc_nulls_last(), "node").limit(30)
 
 
 def q_cdx_index(spark, sf_dir):
@@ -3689,11 +3689,11 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
                    symbol_word_ratio, n_stop_hits,
-                   (n_words BETWEEN 20 AND 100000
-                    AND mean_word_len BETWEEN 3.0 AND 10.0
-                    AND symbol_word_ratio <= 0.1
-                    AND alpha_word_frac >= 0.8
-                    AND n_stop_hits >= 2) AS keep
+                   COALESCE(n_words BETWEEN 20 AND 100000
+                            AND mean_word_len BETWEEN 3.0 AND 10.0
+                            AND symbol_word_ratio <= 0.1
+                            AND alpha_word_frac >= 0.8
+                            AND n_stop_hits >= 2, FALSE) AS keep
             FROM s
         """,
         "spans_quality_pipeline": """
@@ -4359,9 +4359,9 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT doc_id, n_lines,
                    CAST(len(kept) AS INT) AS n_kept,
-                   (len(kept) >= 2
-                    AND NOT contains(lt, 'lorem ipsum')
-                    AND NOT contains(lt, '{')) AS keep,
+                   COALESCE(len(kept) >= 2
+                            AND NOT contains(lt, 'lorem ipsum')
+                            AND NOT contains(lt, '{'), FALSE) AS keep,
                    CASE WHEN len(kept) > 0
                         THEN sha256(array_to_string(kept, chr(10)))
                    END AS clean_sha
@@ -4647,9 +4647,9 @@ def oracle_sql() -> dict[str, str]:
             h2 AS (SELECT src AS node,
                           round(hr / (SELECT max(hr) FROM h2r), 6) AS h
                    FROM h2r)
-            SELECT a2.node, a2.a AS auth, h2.h AS hub
-            FROM a2 LEFT JOIN h2 USING (node)
-            ORDER BY auth DESC, node LIMIT 30
+            SELECT node, a2.a AS auth, h2.h AS hub
+            FROM a2 FULL JOIN h2 USING (node)
+            ORDER BY auth DESC NULLS LAST, node LIMIT 30
         """,
         "cdx_index": """
             WITH u AS (

@@ -1,8 +1,8 @@
 """Per-host fetch-budget apportionment for the frontier scheduler.
 
-The reference crawler caps each source at a fixed per-source article
-limit (reference: news_crawler/crawler.py — `max_articles` applied
-per feed, every host treated equally). At web scale the budget is a
+The reference crawler caps each fetch round at a fixed article limit
+(reference: src/secbot/fetchers/news.py:128-162 — `get(limit=10)`
+truncates the merged feed list, every source treated equally). At web scale the budget is a
 global resource: a fetch round has B slots and millions of hosts with
 wildly different priority mass, so the scheduler needs a proportional
 allocation that (a) sums to exactly B, (b) guarantees every live host

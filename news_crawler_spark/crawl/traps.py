@@ -1,7 +1,8 @@
 """Crawl-trap detection: hosts whose URL space explodes without new
 content (calendar pages, session ids in paths, faceted-search
 combinatorics). The reference crawler never meets traps — its
-frontier is a fixed RSS seed list (reference: news_crawler/feeds.py)
+frontier is a fixed RSS seed list (reference:
+src/secbot/fetchers/news.py:34 RSS_FEEDS)
 — but a frontier that follows links at 10^10 scale dies without this
 guard: a single trap host can fill the entire fetch budget with
 unique-looking URLs.

@@ -118,11 +118,21 @@ class DedupState:
         self.fingerprints.rollback(last.fp_snapshot)
         self.bands.rollback(last.band_snapshot)
         self.verdicts.rollback(last.verdict_snapshot)
-        return int(last.seq) + 1
+        return len(self.committed_batches())
 
     def committed_batches(self) -> list[str]:
+        """Ingest batch_ids in commit order. Compaction lineage rows
+        (batch_id ``compact-<seq>``) are maintenance markers, not
+        batches — excluded here so callers see only real ingests."""
         return [r.batch_id for r in
-                self.lineage.read().orderBy("seq").collect()]
+                self.lineage.read()
+                .filter(~F.col("batch_id").startswith("compact-"))
+                .orderBy("seq").collect()]
+
+    def _next_seq(self) -> int:
+        rows = (self.lineage.read()
+                .orderBy(F.col("seq").desc()).limit(1).collect())
+        return int(rows[0].seq) + 1 if rows else 0
 
     # -- maintenance ------------------------------------------------------
     def compact(self) -> dict:
@@ -142,10 +152,16 @@ class DedupState:
           per batch.
 
         Both rewrites are atomic snapshot overwrites; old snapshots
-        stay readable. A crash AFTER a compaction but before the next
-        ingest loses only the compaction itself: resume() re-pins to
-        the last lineage row's snapshot ids, and re-compacting is
-        always safe. Returns before/after band-row counts."""
+        stay readable. The compaction itself COMMITS: a lineage row
+        (batch_id ``compact-<seq>``, zero counts) pins the
+        post-compaction snapshot ids, so resume() — which every CLI
+        invocation runs first — lands ON the compacted state instead
+        of silently rolling it back to the pre-compaction snapshots
+        (without this, state would grow unboundedly despite
+        compaction). A crash between the overwrites and the lineage
+        row loses only the compaction — rolled back by resume(),
+        re-compacting is always safe. Returns before/after band-row
+        counts."""
         before = self.bands.read().count()
         self.bands.overwrite(
             self.bands.read()
@@ -154,6 +170,13 @@ class DedupState:
             .select("doc_id", "band_id", "band_hash"))
         self.fingerprints.overwrite(self.fingerprints.read())
         after = self.bands.read().count()
+        seq = self._next_seq()
+        self.lineage.append_rows(
+            [(seq, f"compact-{seq}",
+              self.fingerprints.current_snapshot(),
+              self.bands.current_snapshot(),
+              self.verdicts.current_snapshot(),
+              0, 0, 0, 0)])
         return {"bands_before": before, "bands_after": after}
 
     # -- streaming --------------------------------------------------------
@@ -276,7 +299,7 @@ class DedupState:
             .select("fp", "doc_id"),
             "fp")
         self.bands.append(new_bands.select("doc_id", "band_id", "band_hash"))
-        seq = len(self.committed_batches())
+        seq = self._next_seq()
         # driver-side 1-row commit marker — no Spark job (see
         # SnapshotTable.append_rows)
         self.lineage.append_rows(
@@ -370,19 +393,36 @@ class ParagraphState:
         last = rows[0]
         self.paragraphs.rollback(last.para_snapshot)
         self.verdicts.rollback(last.verdict_snapshot)
-        return int(last.seq) + 1
+        return len(self.committed_batches())
 
     def committed_batches(self) -> list[str]:
+        """Ingest batch_ids in commit order (compaction markers,
+        batch_id ``compact-<seq>``, excluded — see DedupState)."""
         return [r.batch_id for r in
-                self.lineage.read().orderBy("seq").collect()]
+                self.lineage.read()
+                .filter(~F.col("batch_id").startswith("compact-"))
+                .orderBy("seq").collect()]
+
+    def _next_seq(self) -> int:
+        rows = (self.lineage.read()
+                .orderBy(F.col("seq").desc()).limit(1).collect())
+        return int(rows[0].seq) + 1 if rows else 0
 
     # -- maintenance ------------------------------------------------------
     def compact(self) -> dict:
         """Small-file coalescing: merge_insert appends one data dir per
         batch; rewrite the (unchanged) row set into a single snapshot
-        dir. Atomic overwrite; always safe to re-run."""
+        dir. Commits a ``compact-<seq>`` lineage row so resume() pins
+        to the compacted snapshot (same rationale as
+        DedupState.compact). Atomic overwrite; always safe to re-run."""
         n = self.paragraphs.read().count()
         self.paragraphs.overwrite(self.paragraphs.read())
+        seq = self._next_seq()
+        self.lineage.append_rows(
+            [(seq, f"compact-{seq}",
+              self.paragraphs.current_snapshot(),
+              self.verdicts.current_snapshot(),
+              0, 0, 0)])
         return {"paragraph_rows": n}
 
     # -- streaming --------------------------------------------------------
@@ -460,7 +500,7 @@ class ParagraphState:
             flagged.filter(F.col("is_new"))
             .select("fp", "doc_id", "pos"),
             "fp")
-        seq = len(self.committed_batches())
+        seq = self._next_seq()
         self.lineage.append_rows(
             [(seq, batch_id,
               self.paragraphs.current_snapshot(),

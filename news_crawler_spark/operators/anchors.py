@@ -1,8 +1,8 @@
 """Anchor-text aggregation over the link graph.
 
 The reference harvests anchor hrefs for frontier expansion but drops
-the anchor TEXT (reference: news_crawler/news.py — link extraction
-keeps (title, link) pairs only for display). At web scale the anchor
+the anchor TEXT (reference: src/secbot/fetchers/news.py:122 —
+extraction keeps NewsItem(title, link, published) only for display). At web scale the anchor
 text pointing AT a page is one of the highest-signal descriptions of
 it — search engines rank with it, and pretraining pipelines mine it
 as human-written summaries of the target. This operator builds the

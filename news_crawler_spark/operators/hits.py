@@ -32,9 +32,12 @@ def hits_scores(edges: DataFrame, iterations: int = 2,
                 src_col: str = "src", dst_col: str = "dst",
                 round_to: int = 6) -> DataFrame:
     """Run ``iterations`` HITS updates from hub = 1.0 on every node
-    and return ``(node, auth, hub)`` — auth for every node with an
-    in-edge, hub NULL for pure sinks (no out-edges). Callers rank by
-    ``auth`` (and break ties on node id) for a deterministic top-k.
+    and return ``(node, auth, hub)`` for EVERY node that holds either
+    score after the final iteration: auth NULL for pure sources (no
+    in-edges — their hub score is exactly what the module docstring
+    says hubs surface: index/listing/seed pages), hub NULL for pure
+    sinks (no out-edges). Callers rank by ``auth`` (NULLS LAST, ties
+    on node id) for a deterministic top-k.
     """
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst"))
@@ -68,7 +71,9 @@ def hits_scores(edges: DataFrame, iterations: int = 2,
                     F.round(F.col("hr") / F.col("hm"), round_to)
                     .alias("h"))
         )
+    # full outer: a left join would drop src-only nodes (hub score but
+    # no in-edge) — exactly the listing/seed pages hubs exist to rank
     return (
-        auth.join(hub, "node", "left")
+        auth.join(hub, "node", "full")
         .select("node", F.col("a").alias("auth"), F.col("h").alias("hub"))
     )

@@ -9,8 +9,9 @@ paragraph/line-level pass with FIRST-WINS semantics: the earliest
 occurrence of each paragraph survives, every later copy is stripped.
 
 This generalizes the reference crawler's first-wins ordered dedup
-(D1, /root/reference/src/secbot/fetcher.py dedup of entries by link —
-earliest kept) from whole records to paragraph granularity.
+(D1, /root/reference/src/secbot/fetchers/news.py:154-163 dedup of
+entries by link — earliest kept) from whole records to paragraph
+granularity.
 
 Scale shape: one Generate (posexplode of the split), one map-side-
 combinable ``min`` groupBy on the paragraph fingerprint (the witness

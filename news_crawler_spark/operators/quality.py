@@ -220,12 +220,18 @@ def gopher_gate(df: DataFrame, text_col: str = "text",
                       ("the", "be", "to", "of", "and",
                        "that", "have", "with")])
     stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stops))
-    keep = (
+    # NULL-text docs: every signal is NULL under ANSI semantics, so a
+    # bare `keep` would be NULL too — and then filter(keep) AND
+    # filter(~keep) both drop the doc, silently miscounting keep/drop
+    # totals. Coalesce to false (a no-text doc is a drop), matching
+    # classifier.hashed_classifier_scores' documented behavior.
+    keep = F.coalesce(
         n_words.between(min_words, max_words)
         & mwl.between(min_mwl, max_mwl)
         & (symbol_ratio <= max_symbol_ratio)
         & (alpha_frac >= min_alpha_frac)
-        & (stop_hits >= min_stop_hits)
+        & (stop_hits >= min_stop_hits),
+        F.lit(False),
     )
     return df.select(
         F.col(id_col),
@@ -403,11 +409,15 @@ def c4_clean(df: DataFrame, text_col: str = "text",
     for bw in doc_badwords:
         doc_bad = doc_bad | F.col("_lt").contains(bw)
     n_kept = F.size("_kept")
+    # NULL text → NULL line arrays → NULL keep under ANSI; coalesce to
+    # false so filter(keep)/filter(~keep) partition the corpus exactly
+    # (same contract as gopher_gate / hashed_classifier_scores)
     return staged2.select(
         id_col,
         "n_lines",
         n_kept.alias("n_kept"),
-        ((n_kept >= min_kept_lines) & ~doc_bad).alias("keep"),
+        F.coalesce((n_kept >= min_kept_lines) & ~doc_bad,
+                   F.lit(False)).alias("keep"),
         F.when(n_kept > 0,
                F.sha2(F.array_join(F.col("_kept"), "\n"), 256))
         .alias("clean_sha"),

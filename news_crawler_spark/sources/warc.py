@@ -1,7 +1,8 @@
 """WARC (Web ARChive, ISO 28500) segment source/sink + CDX indexing.
 
-The reference crawler (reference: news_crawler/crawler.py — requests
-loop, pages held in memory / handed to the digest sink) has no archival
+The reference crawler (reference: src/secbot/fetchers/news.py:85-124
+— `_fetch_feed` requests loop, pages held in memory / handed to the
+digest sink) has no archival
 format; a web-scale crawl needs one, and WARC is the interchange format
 the ecosystem standardizes on (Common Crawl, Internet Archive). This
 module gives the engine that capability Spark-first:
@@ -33,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -181,7 +183,13 @@ def write_warc(df: DataFrame, out_dir: str,
         if n_rec == 0:
             return
         path = os.path.join(out_dir, f"part-{pid:05d}.warc")
-        tmp = path + ".inprogress"
+        # per-attempt temp name: two live attempts of one task
+        # (speculation / a zombie task surviving a retry) must never
+        # share a staging file, or their writes could interleave and
+        # os.replace would publish a torn segment. Each attempt writes
+        # its own file; replace stays last-writer-wins atomic, and
+        # both attempts produce identical bytes by construction.
+        tmp = f"{path}.inprogress-{uuid.uuid4().hex}"
         with open(tmp, "wb") as f:
             f.write(bytes(buf))
         os.replace(tmp, path)  # atomic: readers never see a torn segment

@@ -690,13 +690,19 @@ def test_hits_scores_hand_graph(spark):
         mx = max(h_raw.values())
         h = {n: round(v / mx, 6) for n, v in h_raw.items()}
 
-    assert set(out) == set(a)
-    for n in a:
-        assert out[n]["auth"] == pytest.approx(a[n], abs=1e-9), n
+    # full outer: every node holding either score appears — pure
+    # sources (0, 4: hubs with no in-edge) must NOT be dropped
+    assert set(out) == set(a) | set(h)
+    for n in out:
+        if n in a:
+            assert out[n]["auth"] == pytest.approx(a[n], abs=1e-9), n
+        else:
+            assert out[n]["auth"] is None, n
         if n in h:
             assert out[n]["hub"] == pytest.approx(h[n], abs=1e-9), n
         else:
             assert out[n]["hub"] is None, n
+    assert {0, 4} <= set(out) and out[0]["auth"] is None
     # node 1 is the strongest authority, node 0 the strongest hub
     assert max(a, key=a.get) == 1
     assert max(h, key=h.get) == 0

@@ -40,6 +40,11 @@ BATCHES = {
         (24, "short unique doc three"),        # exact dup of 3
         (25, None),   # NULL never matches NULL: 'new' again, no state growth
     ],
+    "b3": [
+        (31, _BASE + "omega ending"),            # exact dup of 12
+        (32, _BASE + "alpha ending twist two"),  # near dup of 1 family
+        (33, "wholly distinct batch three text about inverted indexes"),
+    ],
 }
 
 NUM_HASHES, BANDS, SHINGLE_N, MH_DOMAIN = 32, 8, 3, 1 << 31
@@ -194,7 +199,9 @@ def test_compact_preserves_verdicts(spark, tmp_path):
     """Band compaction (min doc_id per band key) must not change any
     later verdict: ingest b0+b1, compact, then b2's verdicts equal the
     uncompacted serial model; band rows collapse to unique keys; a
-    trailing compaction is safely discarded by resume()."""
+    trailing compaction SURVIVES resume() (it commits its own lineage
+    row — otherwise the CLI's resume-before-ingest would silently
+    undo every compaction and state would grow unboundedly)."""
     want = serial_model()
     st = DedupState(spark, str(tmp_path / "state"))
     st.ingest(_df(spark, "b0"), "b0")
@@ -208,11 +215,24 @@ def test_compact_preserves_verdicts(spark, tmp_path):
     got = _got(st.ingest(_df(spark, "b2"), "b2"))
     assert got == want["b2"]
 
-    # trailing compaction + crash: resume re-pins to the b2 lineage
-    # row's snapshots — the compaction is discarded, state consistent
-    pre = st.bands.current_snapshot()
-    st.compact()
+    # trailing compaction: a fresh process's resume() pins to the
+    # COMPACTED snapshot (the compact-<seq> lineage row), the row set
+    # stays the collapsed one, and batch replay is unaffected
+    compacted_snap_pre = st.compact()
+    post = st.bands.current_snapshot()
+    n_post = st.bands.read().count()
     st2 = DedupState(spark, str(tmp_path / "state"))
-    assert st2.resume() == 3
-    assert st2.bands.current_snapshot() == pre
+    assert st2.resume() == 3            # compact rows are not batches
+    assert st2.committed_batches() == ["b0", "b1", "b2"]
+    assert st2.bands.current_snapshot() == post
+    assert st2.bands.read().count() == n_post == compacted_snap_pre["bands_after"]
     assert _got(st2.ingest(_df(spark, "b2"), "b2")) == want["b2"]  # replay
+
+    # a TORN compaction (overwrites landed, lineage row didn't) still
+    # rolls back: simulate by overwriting bands without a lineage row
+    st2.bands.overwrite(st2.bands.read().limit(1))
+    st3 = DedupState(spark, str(tmp_path / "state"))
+    assert st3.resume() == 3
+    assert st3.bands.read().count() == n_post
+    got4 = _got(st3.ingest(_df(spark, "b3"), "b3"))
+    assert got4 == want["b3"]

@@ -49,8 +49,10 @@ def test_stream_ingest_matches_serial_and_is_exactly_once(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     # one file per logical batch, mtime-ordered so the file source
     # delivers them as separate epochs in b0, b1, b2 order
-    for i, (bid, rows) in enumerate(BATCHES.items()):
-        _write_batch(str(src), f"{i}_{bid}", rows, 1_000_000 + i * 1000)
+    epochs = ("b0", "b1", "b2")
+    for i, bid in enumerate(epochs):
+        _write_batch(str(src), f"{i}_{bid}", BATCHES[bid],
+                     1_000_000 + i * 1000)
 
     st = DedupState(spark, str(tmp_path / "state"))
     _drain(st, spark, str(src), ckpt)
@@ -60,7 +62,7 @@ def test_stream_ingest_matches_serial_and_is_exactly_once(spark, tmp_path):
     got = _got(
         st.verdicts.read().select("doc_id", "verdict", "matched_id")
     )
-    want_all = {d: v for per in want.values() for d, v in per.items()}
+    want_all = {d: v for bid in epochs for d, v in want[bid].items()}
     assert got == want_all
 
     # restart with the same checkpoint and no new files: nothing

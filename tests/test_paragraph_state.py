@@ -123,6 +123,14 @@ def test_paragraph_state_compact_preserves_state(spark, tmp_path):
              for r in st.paragraphs.read().collect()}
     assert after == before
 
+    # the compaction commits its own lineage row: a fresh process's
+    # resume() pins to the compacted snapshot instead of undoing it,
+    # and compact markers don't count as batches
+    post = st.paragraphs.current_snapshot()
+    st2 = ParagraphState(spark, str(tmp_path / "cp"))
+    assert st2.resume() == len(st.committed_batches())
+    assert st2.paragraphs.current_snapshot() == post
+
 
 def test_paragraph_stream_ingest_matches_batch(spark, tmp_path):
     """File-source stream drained one file per micro-batch must land
