@@ -1984,6 +1984,67 @@ def _embedding_near_dup_oracle(dim: int = 64, n_planes: int = 6,
         """
 
 
+def _rademacher_bucket_sql(dim: int, n_planes: int, seed: int,
+                           vec: str = "e") -> str:
+    """SQL bucket expression replaying rademacher_bucket_col exactly:
+    per plane an explicit left-assoc ±e[d] chain (same fold order as
+    Spark's zip_with/aggregate), sign test, bit-weighted sum."""
+    from news_crawler_spark.operators.similarity import rademacher_signs
+
+    planes = rademacher_signs(dim, n_planes, seed)
+    return " + ".join(
+        "(CASE WHEN (0.0 "
+        + " ".join(f"{'+' if s > 0 else '-'} {vec}[{d + 1}]"
+                   for d, s in enumerate(row))
+        + f") > 0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(planes))
+
+
+def _lsh_ann_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 3,
+                    seed: int = 42, k: int = 5) -> str:
+    buckets = ", ".join(
+        f"{_rademacher_bucket_sql(dim, n_planes, seed + 1000 * t)} AS b{t}"
+        for t in range(n_tables))
+    collide = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE vec_id < 500),
+            bk AS (SELECT vec_id, e, {buckets} FROM base),
+            q AS (SELECT * FROM bk WHERE vec_id < 6),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     q.e AS qe, c.e AS ce
+              FROM q JOIN bk c ON ({collide})
+              WHERE q.vec_id <> c.vec_id),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qe, ce)
+                           / (sqrt(list_dot_product(qe, qe))
+                              * sqrt(list_dot_product(ce, ce))), 6) AS sim
+              FROM cand)
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM scored QUALIFY rnk <= {k} ORDER BY query_id, rnk
+        """
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Multi-table sign-LSH ANN (operators/similarity.py lsh_ann_topk):
+    3 Rademacher-plane tables (sha256-derived ±1 planes, per-table
+    seeds — replayable by any engine, unlike the seeded-Gaussian numpy
+    signer this operator used before), bucket equi-join per table with
+    the query side broadcast, union, exact cosine rerank, per-query
+    top-5. Queries = first 6 vectors, corpus = first 500."""
+    from news_crawler_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    return (lsh_ann_topk(emb.where(F.col("vec_id") < 6), emb, k=5, dim=64,
+                         n_planes=6, n_tables=3)
+            .orderBy("query_id", "rnk"))
+
+
 def q_exact_substr_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span detection
     (operators/substr.py duplicate_ngram_spans): maximal token spans
@@ -2433,6 +2494,23 @@ def q_pq_ann(spark, sf_dir):
             .orderBy("query_id", "rnk"))
 
 
+def q_ivf_pq_ann(spark, sf_dir):
+    """Composed IVF-PQ (operators/pq.py ivf_pq_topk) — the full index
+    a 10^9-vector deployment runs: coarse cell filter first
+    (ivf_assign, seed centroids = first 16 vectors), ADC over codes
+    only inside each query's 4 probed cells. The corpus ships exactly
+    (id, cell, codes) into the probe join — one Project/Generate pass,
+    zero corpus exchanges (plan-asserted tests/test_pq.py). Cells,
+    codes, and ranking all replay value-exactly in SQL (6dp rounding +
+    id ties at every ordering). Queries = first 8 vectors, k=5."""
+    from news_crawler_spark.operators.pq import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (ivf_pq_topk(emb.where(F.col("vec_id") < 8), emb, k=5,
+                        n_centroids=16, nprobe=4, m=4, ks=8)
+            .orderBy("query_id", "rnk"))
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py bpe_train,
     Sennrich et al. 2016): 3 merge steps over the corpus word table —
@@ -2716,16 +2794,74 @@ def q_weighted_sample_topk(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
-    gate evaluates the first 50 entries. Round-4 rotation: (1) the 41
-    entries whose last driver row is r02 (everything past r03's
-    window edge — two rounds stale, re-attest now), (2) queries new
-    this round, (3) queries whose operator code changed this round
-    after their r03 attestation (url normalizer guard, flatten-NULL,
-    salted quality joins), (4) r03-green queries sharing the edited
-    modules (quality.py) — belt and braces. Every entry past 50
-    carries a green CORRECTNESS_r03 row on code untouched since."""
+    gate evaluates the first 50 entries. Round-5 rotation: (1) the 33
+    round-4 additions that landed after the r04 window froze — they
+    have only pytest-oracle evidence, never a driver row; (2) queries
+    new this round (IVF-PQ composition, Rademacher multi-table ANN);
+    (3) queries whose operator code changed this round after their
+    r03/r04 attestation (the _shingle_rows single-pass rewrite touches
+    every minhash consumer; salted_join_hot touches lm_perplexity and
+    boilerplate_lines; the NULL-keep coalesce touches gopher_gate);
+    (4) the oldest still-green r03 attestations as padding. Every
+    entry past 50 carries a green CORRECTNESS_r03/r04 row on code
+    untouched since."""
     return {
-        # -- (1) last attested r02 — rotate back into the window --
+        # -- (1) round-4 post-freeze additions: first driver rows --
+        "exact_substr_spans": q_exact_substr_spans,
+        "hashed_quality_classifier": q_hashed_quality_classifier,
+        "domain_mixture": q_domain_mixture,
+        "training_shuffle": q_training_shuffle,
+        "cluster_quality_keep": q_cluster_quality_keep,
+        "semdedup_prune": q_semdedup_prune,
+        "quality_weighted_sample": q_quality_weighted_sample,
+        "perplexity_buckets": q_perplexity_buckets,
+        "c4_line_filter": q_c4_line_filter,
+        "paragraph_dedup": q_paragraph_dedup,
+        "dsir_importance": q_dsir_importance,
+        "kmeans_clusters": q_kmeans_clusters,
+        "corpus_report": q_corpus_report,
+        "span_dedup": q_span_dedup,
+        "edit_distance_verify": q_edit_distance_verify,
+        "recrawl_intervals": q_recrawl_intervals,
+        "hits_authority": q_hits_authority,
+        "cdx_index": q_cdx_index,
+        "host_budget_allocation": q_host_budget_allocation,
+        "crawl_trap_hosts": q_crawl_trap_hosts,
+        "anchor_text_topk": q_anchor_text_topk,
+        "pq_ann": q_pq_ann,
+        "bpe_merges": q_bpe_merges,
+        "trustrank_scores": q_trustrank_scores,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "bpe_fertility": q_bpe_fertility,
+        "label_propagation": q_label_propagation,
+        "sitemap_index_expand": q_sitemap_index_expand,
+        "effective_crawl_rate": q_effective_crawl_rate,
+        "robots_sitemap_discovery": q_robots_sitemap_discovery,
+        "inverted_index": q_inverted_index,
+        "mirror_content": q_mirror_content,
+        "weighted_sample_topk": q_weighted_sample_topk,
+        # -- (2) new this round --
+        "ivf_pq_ann": q_ivf_pq_ann,
+        "lsh_ann": q_lsh_ann,
+        # -- (3) operator code changed this round after attestation --
+        "gopher_gate": q_gopher_gate,
+        "lm_perplexity": q_lm_perplexity,
+        "boilerplate_lines": q_boilerplate_lines,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
+        "training_pipeline": q_training_pipeline,
+        "incremental_dedup": q_incremental_dedup,
+        "jaccard_token_pairs": q_jaccard_token_pairs,
+        "decontamination": q_decontamination,
+        # -- (4) oldest r03 attestations, code untouched — padding --
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "dup_clusters": q_dup_clusters,
+        "ivf_ann": q_ivf_ann,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        # ---- driver gate window ends at position 50 ----
+        # -- r04-green, code untouched since --
         "bigram_collocations": q_bigram_collocations,
         "salted_agg": q_salted_agg,
         "salted_join_revenue": q_salted_join_revenue,
@@ -2767,27 +2903,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_running_sum": q_w_running_sum,
         "dt_trunc_month": q_dt_trunc_month,
         "json_extract": q_json_extract,
-        # -- (2) new this round --
         "sequence_packing_sharded": q_sequence_packing_sharded,
         "spans_quality_pipeline": q_spans_quality_pipeline,
-        "gopher_gate": q_gopher_gate,
-        # -- (3) operator code changed after the r03 attestation --
         "url_normalize": q_url_normalize,
         "interleaved_spans_stats": q_interleaved_spans_stats,
-        "lm_perplexity": q_lm_perplexity,
-        "boilerplate_lines": q_boilerplate_lines,
-        # -- (4) r03-green, same modules as this round's edits --
         "quality_repetition": q_quality_repetition,
         "tfidf_bm25": q_tfidf_bm25,
-        # ---- driver gate window ends at position 50 ----
         # -- r03-green, code untouched since --
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "embedding_near_dup": q_embedding_near_dup,
-        "dup_clusters": q_dup_clusters,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "range_join": q_range_join,
-        "ivf_ann": q_ivf_ann,
         "sessionize": q_sessionize,
         "sliding_window_agg": q_sliding_window_agg,
         "session_window_agg": q_session_window_agg,
@@ -2808,58 +2931,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "doc_pipeline": q_doc_pipeline,
         "ioc_pattern_diff": q_ioc_pattern_diff,
-        "minhash_jaccard_est": q_minhash_jaccard_est,
         "sequence_packing": q_sequence_packing,
         "sitemap_parse": q_sitemap_parse,
-        "incremental_dedup": q_incremental_dedup,
         "robots_parse": q_robots_parse,
         "freshness_priority": q_freshness_priority,
         "pii_redact": q_pii_redact,
-        "decontamination": q_decontamination,
         "doc_chunking": q_doc_chunking,
-        "training_pipeline": q_training_pipeline,
-        "jaccard_token_pairs": q_jaccard_token_pairs,
-        "sim_cosine_topk": q_sim_cosine_topk,
         "hll_ndv": q_hll_ndv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "histogram_quantiles": q_histogram_quantiles,
         "pagerank_authority": q_pagerank_authority,
         "event_correlation": q_event_correlation,
-        # -- (5) new after the round-4 window froze: pytest-oracle
-        #    evidence this round, rotate into the window next round --
-        "exact_substr_spans": q_exact_substr_spans,
-        "hashed_quality_classifier": q_hashed_quality_classifier,
-        "domain_mixture": q_domain_mixture,
-        "training_shuffle": q_training_shuffle,
-        "cluster_quality_keep": q_cluster_quality_keep,
-        "semdedup_prune": q_semdedup_prune,
-        "quality_weighted_sample": q_quality_weighted_sample,
-        "perplexity_buckets": q_perplexity_buckets,
-        "c4_line_filter": q_c4_line_filter,
-        "paragraph_dedup": q_paragraph_dedup,
-        "dsir_importance": q_dsir_importance,
-        "kmeans_clusters": q_kmeans_clusters,
-        "corpus_report": q_corpus_report,
-        "span_dedup": q_span_dedup,
-        "edit_distance_verify": q_edit_distance_verify,
-        "recrawl_intervals": q_recrawl_intervals,
-        "hits_authority": q_hits_authority,
-        "cdx_index": q_cdx_index,
-        "host_budget_allocation": q_host_budget_allocation,
-        "crawl_trap_hosts": q_crawl_trap_hosts,
-        "anchor_text_topk": q_anchor_text_topk,
-        "pq_ann": q_pq_ann,
-        "bpe_merges": q_bpe_merges,
-        "trustrank_scores": q_trustrank_scores,
-        "corpus_snapshot_diff": q_corpus_snapshot_diff,
-        "bpe_fertility": q_bpe_fertility,
-        "label_propagation": q_label_propagation,
-        "sitemap_index_expand": q_sitemap_index_expand,
-        "effective_crawl_rate": q_effective_crawl_rate,
-        "robots_sitemap_discovery": q_robots_sitemap_discovery,
-        "inverted_index": q_inverted_index,
-        "mirror_content": q_mirror_content,
-        "weighted_sample_topk": q_weighted_sample_topk,
     }
 
 
@@ -4125,6 +4207,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _simhash_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
+        "lsh_ann": _lsh_ann_oracle(),
         "minhash_jaccard_est": _minhash_jaccard_est_oracle(),
         "incremental_dedup": _incremental_dedup_oracle(),
         "exact_substr_spans": """
@@ -4787,6 +4870,75 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN enc e
               JOIN cb b ON b.j = e.j AND b.code = e.code
               WHERE q.query_id <> e.id),
+            pairs AS (
+              SELECT query_id, neighbor_id,
+                     round(list_sum(list(term ORDER BY j)), 6) AS adist
+              FROM terms GROUP BY query_id, neighbor_id)
+            SELECT query_id, neighbor_id, adist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist, neighbor_id) AS rnk
+            FROM pairs QUALIFY rnk <= 5 ORDER BY query_id, rnk
+        """,
+        "ivf_pq_ann": """
+            WITH cent AS (
+              SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS cvec
+              FROM embeddings ORDER BY vec_id LIMIT 16),
+            c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+            q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 8),
+            cass AS (
+              SELECT id, cell FROM (
+                SELECT c.id, ct.cell,
+                       row_number() OVER (PARTITION BY c.id ORDER BY
+                         round(list_dot_product(c.v, ct.cvec)
+                               / (sqrt(list_dot_product(c.v, c.v))
+                                  * sqrt(list_dot_product(ct.cvec, ct.cvec))), 6) DESC,
+                         ct.cell) AS rn
+                FROM c CROSS JOIN cent ct) WHERE rn = 1),
+            qass AS (
+              SELECT query_id, cell FROM (
+                SELECT q.query_id, ct.cell,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         round(list_dot_product(q.qv, ct.cvec)
+                               / (sqrt(list_dot_product(q.qv, q.qv))
+                                  * sqrt(list_dot_product(ct.cvec, ct.cvec))), 6) DESC,
+                         ct.cell) AS rn
+                FROM q CROSS JOIN cent ct) WHERE rn <= 4),
+            cb0 AS (
+              SELECT j, vec_id::INT AS code,
+                     list_slice(embedding::DOUBLE[],
+                                j*16 + 1, j*16 + 16) AS cvec
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(range(4)) AS j)
+              WHERE vec_id < 8),
+            cb AS (SELECT j, code, cvec,
+                          list_dot_product(cvec, cvec) AS cc
+                   FROM cb0),
+            enc AS (
+              SELECT id, j, code FROM (
+                SELECT c.id, b.j, b.code,
+                       row_number() OVER (PARTITION BY c.id, b.j ORDER BY
+                         round(b.cc - 2*list_dot_product(
+                           list_slice(c.v, b.j*16 + 1, b.j*16 + 16),
+                           b.cvec), 6) ASC,
+                         b.code ASC) AS rn
+                FROM c CROSS JOIN cb b) WHERE rn = 1),
+            terms AS (
+              SELECT qa.query_id, e.id AS neighbor_id, e.j,
+                     round(
+                       list_dot_product(
+                         list_slice(q.qv, e.j*16 + 1, e.j*16 + 16),
+                         list_slice(q.qv, e.j*16 + 1, e.j*16 + 16))
+                       + b.cc
+                       - 2*list_dot_product(
+                           list_slice(q.qv, e.j*16 + 1, e.j*16 + 16),
+                           b.cvec), 6) AS term
+              FROM qass qa
+              JOIN cass ca USING (cell)
+              JOIN enc e ON e.id = ca.id
+              JOIN q ON q.query_id = qa.query_id
+              JOIN cb b ON b.j = e.j AND b.code = e.code
+              WHERE qa.query_id <> e.id),
             pairs AS (
               SELECT query_id, neighbor_id,
                      round(list_sum(list(term ORDER BY j)), 6) AS adist

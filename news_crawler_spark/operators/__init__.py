@@ -33,6 +33,13 @@ from news_crawler_spark.operators.quality import (
     repetition_profile,
 )
 from news_crawler_spark.operators.packing import pack_sequences
+from news_crawler_spark.operators.pq import (
+    ivf_pq_topk,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
 from news_crawler_spark.operators.paragraphs import (
     paragraph_dedup,
     span_dedup,
@@ -59,7 +66,14 @@ from news_crawler_spark.operators.spanops import (
     flatten_text,
     span_stats,
 )
-from news_crawler_spark.operators.topk import top_k_global, top_k_per_group
+from news_crawler_spark.operators.topk import (
+    global_row_number,
+    salted_agg,
+    salted_join,
+    salted_join_hot,
+    top_k_global,
+    top_k_per_group,
+)
 
 __all__ = [
     "asof_join",
@@ -97,10 +111,19 @@ __all__ = [
     "paragraph_dedup",
     "recrawl_intervals",
     "span_dedup",
+    "global_row_number",
+    "salted_agg",
+    "salted_join",
+    "salted_join_hot",
     "top_k_global",
     "top_k_per_group",
     "cosine_topk_bruteforce",
+    "ivf_pq_topk",
     "ivf_topk",
+    "pq_adc_topk",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_topk",
     "kmeans_fit",
     "kmeans_refine",
     "lsh_ann_topk",

@@ -26,9 +26,13 @@ Callers feed alphanumeric words (the corpus tokenizer already lowers
 and strips punctuation), so parens can never collide with symbol
 text.
 
-At larger n_merges, checkpoint the running word table every ~20 steps
-— the merge chain composes lazily here (each step re-reads the source
-and replays prior replaces, linear and cheap at small step counts).
+At larger n_merges the running word table is checkpointed INSIDE the
+training loop every 20 steps: the merge chain composes lazily (each
+step's plan replays every prior replace over the source), so without
+the periodic pin step k's two jobs each re-run k replaces — the
+linear replay chain goes quadratic in total work. The checkpoint
+resets the lineage to the materialized table; the trajectory is
+unchanged (tests/test_bpe.py pins 25 merges with and without it).
 """
 
 from __future__ import annotations
@@ -43,7 +47,8 @@ def _symbols(col: str = "sym") -> F.Column:
     return F.expr(f"regexp_extract_all({col}, '{_SYM_RE}', 1)")
 
 
-def bpe_train(words: DataFrame, n_merges: int = 3) -> DataFrame:
+def bpe_train(words: DataFrame, n_merges: int = 3,
+              checkpoint_every: int = 20) -> DataFrame:
     """Learn ``n_merges`` BPE merges from a (word, cnt) table.
 
     Returns the merge trajectory as a DataFrame (step:int, pair:string
@@ -51,6 +56,10 @@ def bpe_train(words: DataFrame, n_merges: int = 3) -> DataFrame:
     vocab_size is the distinct-symbol count AFTER applying the step's
     merge. Integer counts + lexicographic tiebreaks make the whole
     trajectory a pure function of the input in any engine.
+
+    ``checkpoint_every``: localCheckpoint the running word table every
+    this many merges so the lazy replace chain can't go quadratic
+    (module docstring); the trajectory is checkpoint-invariant.
     """
     spark = words.sparkSession
     # eager checkpoint of the (small, aggregated) word table: every
@@ -81,6 +90,8 @@ def bpe_train(words: DataFrame, n_merges: int = 3) -> DataFrame:
                       F.lit(f"({left})({right})"),
                       F.lit(f"({left}{right})")).alias("sym"),
             "cnt")
+        if checkpoint_every and step % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
         vocab = (cur.select(F.explode(_symbols()).alias("s"))
                  .agg(F.countDistinct("s")).collect()[0][0])
         out.append((step, pair, left + right, c, int(vocab)))

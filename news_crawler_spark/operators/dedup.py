@@ -82,25 +82,21 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
         return tok.select(id_col, F.col("_tok").alias("shingle")).dropDuplicates()
     w = Window.partitionBy(id_col).orderBy("_pos")
     parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
-    full = (
+    # docs shorter than n tokens contribute their whole text once: the
+    # _pos==0 row of such a doc has NULL leads past its length, and
+    # concat_ws SKIPS NULLs — so that row's shingle IS the whole doc
+    # joined. One window pass + one filter covers both cases; the
+    # previous union branch re-aggregated the full token table
+    # (collect_list per doc) even when no short docs existed —
+    # measured as the training_pipeline/minhash_jaccard_est regression
+    # in BENCH_r04.
+    return (
         tok.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"),
-                   F.lead("_tok", n - 1).over(w).alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-    )
-    # docs shorter than n tokens contribute their whole text once
-    short = (
-        tok.groupBy(id_col)
-        .agg(F.count("*").alias("_n"),
-             F.array_join(
-                 F.transform(
-                     F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
-                     lambda s: s.getField("_tok")),
-                 " ").alias("shingle"))
-        .filter(F.col("_n") < n)
+                   F.lead("_tok", n - 1).over(w).alias("_last"), "_pos")
+        .filter(F.col("_last").isNotNull() | (F.col("_pos") == 0))
         .select(id_col, "shingle")
+        .dropDuplicates()
     )
-    return full.unionByName(short).dropDuplicates()
 
 
 # double-hashing domain: h1,h2 in [0, 2^31) so h1 + j*h2 stays well

@@ -7,9 +7,10 @@ embedding becomes ``m`` small integer codes (here 4 × 3 bits — at
 and 4-16 B/vector), and search scores queries against CODES via
 asymmetric distance computation (ADC) — per subspace, the distance
 from the query's subvector to the corpus row's assigned codeword,
-summed. Compose with ``similarity.ivf_assign`` for the full IVF-PQ
-shape (cell filter first, ADC inside probed cells); this module keeps
-the two halves orthogonal.
+summed. :func:`ivf_pq_topk` is the composed full IVF-PQ shape (cell
+filter first via ``similarity.ivf_assign``, ADC only inside probed
+cells); :func:`pq_topk` is the flat variant, and the encode/search
+halves stay independently reusable.
 
 Engine shape, same contract as ivf_assign (operators/similarity.py):
 
@@ -88,9 +89,13 @@ def _stage_subs(df: DataFrame, vec_col: str, m: int, dsub: int,
 
 
 def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """Corpus → (id, codes:array<int>). Zero shuffles: codebooks are
-    literals, the plan over the corpus is Project/Generate only."""
+              vec_col: str = "embedding",
+              keep: tuple = ()) -> DataFrame:
+    """Corpus → (id, *keep, codes:array<int>). Zero shuffles: codebooks
+    are literals, the plan over the corpus is Project/Generate only.
+    ``keep`` names extra input columns to carry through (e.g. the IVF
+    ``cell`` — ivf_pq_topk ships (id, cell, codes) into the probe
+    join, nothing else)."""
     m, ks = len(codebooks), len(codebooks[0])
     dsub = len(codebooks[0][0][0])
     staged = _stage_subs(corpus, vec_col, m, dsub, "_subs")
@@ -113,6 +118,7 @@ def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id",
 
     return staged.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep],
         F.array(*[argmin_code(j) for j in range(m)]).alias("codes"))
 
 
@@ -134,6 +140,14 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebooks,
         vec_col, m, dsub, "_qsubs",
     ).select("query_id", "_qsubs")
     pairs = codes.crossJoin(F.broadcast(q))  # tiny × corpus, nested-loop
+    return _adc_rank(pairs, codebooks, k)
+
+
+def _adc_rank(pairs: DataFrame, codebooks, k: int) -> DataFrame:
+    """Shared ADC scoring + per-query rank over a (codes, _qsubs)
+    candidate-pair table — the flat search crosses every (query,
+    corpus) pair into it; IVF-PQ equi-joins on the probed cell."""
+    m = len(codebooks)
 
     def term(j: int) -> F.Column:
         cb_lit = F.array(*[
@@ -165,3 +179,52 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col)
     return pq_adc_topk(queries, codes, cbs, k=k, id_col=id_col,
                        vec_col=vec_col)
+
+
+def ivf_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                n_centroids: int = 16, nprobe: int = 2,
+                m: int = 4, ks: int = 8, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Composed IVF-PQ — the full index shape a real 10^9-vector
+    deployment runs: coarse cell filter FIRST (similarity.ivf_assign,
+    deterministic seed centroids = first ``n_centroids`` vectors),
+    then ADC over codes ONLY inside the query's ``nprobe`` probed
+    cells. The flat ``pq_topk`` scores every (query, corpus) pair;
+    this touches ~nprobe/n_centroids of the encoded corpus per query.
+
+    Scale shape: the corpus side is ONE Project/Generate pass — cell
+    assignment (literal centroids) and PQ encode (literal codebooks)
+    fused into a single projection, so the corpus ships exactly
+    (id, cell, codes) into the probe join and NEVER moves a vector or
+    an Exchange (plan-asserted in tests/test_pq.py: the only
+    hash-partition exchange in the whole query is the final per-query
+    rank window). Queries are tiny by contract: they probe nprobe
+    cells each and broadcast into a cell equi-join. Each corpus row
+    lives in exactly ONE cell (corpus nprobe=1), so a (query,
+    neighbor) pair appears at most once — no dedup step.
+
+    Determinism: the cell assignment rounds at 6 dp with cell-id ties
+    (ivf_assign contract) and the ADC sum is the pq_adc_topk contract
+    (per-subspace rounding, subspace-order sum, neighbor-id ties), so
+    a SQL oracle replays cells, codes, and ranking value-exactly.
+    Recall caveat (same as every IVF-PQ): a true neighbor outside the
+    probed cells is missed — nprobe is the recall/cost lever."""
+    from news_crawler_spark.operators.similarity import ivf_assign
+
+    centroids = (
+        corpus.orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).cast("int").alias("cell"),
+                F.col(vec_col).alias("cvec"))
+    )
+    cbs = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
+    codes = pq_encode(assigned, cbs, id_col=id_col, vec_col=vec_col,
+                      keep=("cell",))
+    dsub = len(cbs[0][0][0])
+    q_assigned = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        centroids, "query_id", vec_col, nprobe=nprobe)
+    q = (_stage_subs(q_assigned, vec_col, m, dsub, "_qsubs")
+         .select("query_id", "cell", "_qsubs"))
+    pairs = codes.join(F.broadcast(q), "cell")
+    return _adc_rank(pairs, cbs, k)

@@ -111,12 +111,14 @@ def lm_cross_entropy(df: DataFrame, text_col: str = "text",
     Zipf-skewed by construction (every bigram row keys on its FIRST
     token, so stopwords like "the" concentrate a large fraction of the
     corpus in single reducers at scale) — it goes through
-    :func:`~news_crawler_spark.operators.topk.salted_join`, which
-    replicates the vocab-sized count table ``n_salts``× and fans the
-    hot token's probe rows across ``n_salts`` tasks; result multiset
+    :func:`~news_crawler_spark.operators.topk.salted_join_hot`: the
+    unigram count table carries each token's big-side frequency, so
+    the Zipf head (top-1024 tokens) is broadcast-tagged and salted
+    while the skew-free tail joins unsalted — skew defense without the
+    unconditional ``n_salts``× vocab replication. Result multiset
     identical to the plain join, so SQL oracles replay the plain
     form."""
-    from news_crawler_spark.operators.topk import salted_join
+    from news_crawler_spark.operators.topk import salted_join_hot
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "w1"))
@@ -128,8 +130,9 @@ def lm_cross_entropy(df: DataFrame, text_col: str = "text",
     big = bg.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
     vocab = tok.agg(F.countDistinct("w1").alias("_v"))
     logp = F.log((F.col("_cb") + 1) / (F.col("_cu") + F.col("_v")))
-    scored = salted_join(bg.join(big, ["w1", "w2"]), uni,
-                         key="w1", salt_src=id_col, n_salts=8)
+    scored = salted_join_hot(bg.join(big, ["w1", "w2"]), uni,
+                             key="w1", freq_col="_cu",
+                             salt_src=id_col, n_salts=8)
     return (
         scored
         .crossJoin(F.broadcast(vocab))
@@ -156,10 +159,11 @@ def boilerplate_profile(df: DataFrame, text_col: str = "text",
     all-pairs. The join-back keys on the line itself, and hot
     boilerplate lines ("Subscribe to our newsletter") are by
     definition the skewed keys — so it goes through
-    :func:`~news_crawler_spark.operators.topk.salted_join` (line-count
-    table replicated ``n_salts``×, hot line's probe rows fanned across
-    salts; result multiset equals the plain join)."""
-    from news_crawler_spark.operators.topk import salted_join
+    :func:`~news_crawler_spark.operators.topk.salted_join_hot` (the
+    per-line doc-count IS the key frequency: the top-1024 hot lines
+    are broadcast-tagged and salted, the skew-free tail joins
+    unsalted; result multiset equals the plain join)."""
+    from news_crawler_spark.operators.topk import salted_join_hot
 
     lines = (
         df.select(F.col(id_col),
@@ -170,8 +174,8 @@ def boilerplate_profile(df: DataFrame, text_col: str = "text",
     )
     doc_counts = lines.groupBy("line").agg(F.count("*").alias("_ndocs"))
     return (
-        salted_join(lines, doc_counts, key="line", salt_src=id_col,
-                    n_salts=8)
+        salted_join_hot(lines, doc_counts, key="line", freq_col="_ndocs",
+                        salt_src=id_col, n_salts=8)
         .groupBy(id_col).agg(
             F.count("*").alias("n_lines"),
             F.sum(F.when(F.col("_ndocs") >= min_docs, 1).otherwise(0))

@@ -80,20 +80,30 @@ def hyperplane_signature_udf(dim: int, n_planes: int, seed: int = 42):
 def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, n_tables: int = 4,
-                 round_to: int = 6) -> DataFrame:
-    """Approximate NN: multi-table hyperplane LSH bucket join + exact
-    cosine rerank within buckets. Recall grows with n_tables; the
-    bucket equi-join replaces the cross join."""
+                 round_to: int = 6, seed: int = 42) -> DataFrame:
+    """Approximate NN: multi-table sign-LSH bucket join + exact cosine
+    rerank within buckets. Recall grows with n_tables; the bucket
+    equi-join replaces the cross join.
+
+    Buckets come from :func:`rademacher_bucket_col` (sha256-derived ±1
+    planes, per-table seeds) — fully native and codegen'd, same family
+    and identical banding statistics as the seeded-Gaussian
+    :func:`hyperplane_signature_udf` (kept as the Arrow-batched §2.13
+    UDF surface), but replayable by ANY engine: the DuckDB oracle
+    re-derives every bucket, so multi-table ANN is value-checkable,
+    not rows-only. Queries broadcast into each table's bucket join —
+    the corpus side never shuffles before the candidate rerank."""
     parts = []
     for t in range(n_tables):
-        signer = hyperplane_signature_udf(dim, n_planes, seed=42 + 1000 * t)
+        bucket = rademacher_bucket_col(vec_col, dim, n_planes,
+                                       seed=seed + 1000 * t)
         qb = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-            signer(F.col(vec_col)).alias("bucket"))
+            bucket.alias("bucket"))
         cb = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-            signer(F.col(vec_col)).alias("bucket"))
-        parts.append(qb.join(cb, "bucket").drop("bucket"))
+            bucket.alias("bucket"))
+        parts.append(cb.join(F.broadcast(qb), "bucket").drop("bucket"))
     cands = parts[0]
     for p in parts[1:]:
         cands = cands.unionByName(p)

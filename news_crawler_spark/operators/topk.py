@@ -164,3 +164,59 @@ def salted_join(big, small, key: str, salt_src: str, n_salts: int = 8,
         "_salt", F.explode(F.expr(
             f"sequence(CAST(0 AS BIGINT), CAST({n_salts - 1} AS BIGINT))")))
     return big_s.join(small_s, [key, "_salt"], how).drop("_salt")
+
+
+def salted_join_hot(big, small, key: str, freq_col: str, salt_src: str,
+                    n_salts: int = 8, top_k: int = 1024,
+                    how: str = "inner"):
+    """Head/tail skew-safe equi-join: salt ONLY the hot keys.
+
+    :func:`salted_join` replicates the whole small side ``n_salts``×
+    — the right defense when the skew profile is unknown, but an
+    unconditional fan-out of the count table (measured: +55% on
+    lm_perplexity at sf0.1). When the small side carries each key's
+    big-side frequency (``freq_col`` — true for the quality-family
+    joins, whose count tables ARE the key frequencies), the Zipf head
+    is identifiable in-plan: take the ``top_k`` keys by frequency
+    (TakeOrderedAndProject — no global sort), broadcast-tag both
+    sides, and salt just those keys. Replication drops to
+    ``top_k × n_salts`` rows; the tail joins on salt 0 — effectively
+    unsalted — but is skew-free by construction (any key hotter than
+    the head's minimum frequency is IN the head). Single scan of the
+    big side, one shuffle on (key, _salt); result multiset equals the
+    plain join's, so SQL oracles replay the plain form.
+
+    Ties at the boundary break on the key itself, so the head set is
+    deterministic. ``how``: 'inner' or 'left' (a big row either
+    matches its one salt replica or null-extends, same as
+    :func:`salted_join`).
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join_hot supports inner/left, got {how!r}")
+    if salt_src == key:
+        raise ValueError("salt_src must be row-level, not the join key")
+    hot = (small
+           .orderBy(F.col(freq_col).desc(), F.col(key))
+           .limit(top_k)
+           .select(key, F.lit(True).alias("_hot")))
+    big_s = (
+        big.join(F.broadcast(hot), key, "left")
+        .withColumn("_salt",
+                    F.when(F.col("_hot"), row_salt(salt_src, n_salts))
+                    .otherwise(F.lit(0).cast("long")))
+        .drop("_hot")
+    )
+    small_s = (
+        small.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(F.col("_hot"), F.expr(
+                    f"sequence(CAST(0 AS BIGINT), "
+                    f"CAST({n_salts - 1} AS BIGINT))"))
+                .otherwise(F.array(F.lit(0).cast("long")))))
+        .drop("_hot")
+    )
+    return big_s.join(small_s, [key, "_salt"], how).drop("_salt")

@@ -78,3 +78,25 @@ def test_single_char_words_contribute_no_pairs(spark):
     traj = bpe_train(_words(spark, {"a": 100, "bc": 1}), n_merges=2).collect()
     assert len(traj) == 1  # only one mergeable pair exists, then dry
     assert traj[0].pair == "b c"
+
+
+def test_checkpointed_long_run_trajectory_unchanged(spark):
+    """25 merges with in-loop checkpointing every 5 steps must produce
+    the exact serial trajectory AND equal the unchckpointed run — the
+    periodic localCheckpoint is a lineage reset, never a semantic
+    change, and it keeps the lazy replace chain linear instead of
+    quadratic at large n_merges."""
+    corpus = {w: c for w, c in zip(
+        ("abab", "ababab", "cdcd", "cdcdcd", "abcd", "dcba", "aabb",
+         "ccdd", "abcabc", "xyzxyz", "wxyz", "zyxw", "mnmn", "nopq",
+         "qponm", "lowlow", "newest", "widest", "lowest", "slowest"),
+        range(20, 0, -1))}
+    got_ck = [tuple(r) for r in
+              bpe_train(_words(spark, corpus), n_merges=25,
+                        checkpoint_every=5).orderBy("step").collect()]
+    got_plain = [tuple(r) for r in
+                 bpe_train(_words(spark, corpus), n_merges=25,
+                           checkpoint_every=0).orderBy("step").collect()]
+    exp, _ = serial_bpe(corpus, 25)
+    assert got_ck == exp
+    assert got_ck == got_plain

@@ -8,6 +8,7 @@ import math
 import pytest
 
 from news_crawler_spark.operators.pq import (
+    ivf_pq_topk,
     pq_adc_topk,
     pq_codebooks,
     pq_encode,
@@ -136,3 +137,80 @@ def test_dim_not_divisible_raises(spark):
     df = _df(spark, _vectors(dim=16))
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks(df, m=3, ks=8)
+
+
+def test_ivf_pq_full_probe_equals_flat(spark):
+    """nprobe == n_centroids probes every cell, so the candidate set
+    is the whole corpus and the composed IVF-PQ must equal the flat
+    PQ search exactly (same adist, same ranking)."""
+    import numpy as np
+    vs = {i: [float(np.float32(x)) for x in v]
+          for i, v in _vectors(n=40).items()}
+    df = _df(spark, vs)
+    qs = df.where("vec_id < 4")
+    flat = sorted(map(tuple, pq_topk(qs, df, k=5).collect()))
+    ivf = sorted(map(tuple, ivf_pq_topk(
+        qs, df, k=5, n_centroids=8, nprobe=8).collect()))
+    assert ivf == flat and len(ivf) == 4 * 5
+
+
+def test_ivf_pq_candidates_respect_probed_cells(spark):
+    """With nprobe < n_centroids every returned neighbor must live in
+    one of its query's probed cells — the cell filter actually
+    gates the ADC stage."""
+    import numpy as np
+
+    from news_crawler_spark.operators.similarity import ivf_assign
+    from pyspark.sql import functions as F
+
+    vs = {i: [float(np.float32(x)) for x in v]
+          for i, v in _vectors(n=40).items()}
+    df = _df(spark, vs)
+    qs = df.where("vec_id < 4")
+    centroids = (df.orderBy("vec_id").limit(8)
+                 .select(F.col("vec_id").cast("int").alias("cell"),
+                         F.col("embedding").alias("cvec")))
+    ccell = {r.vec_id: r.cell
+             for r in ivf_assign(df, centroids, nprobe=1).collect()}
+    probed = {}
+    for r in ivf_assign(qs, centroids, nprobe=2).collect():
+        probed.setdefault(r.vec_id, set()).add(r.cell)
+    out = ivf_pq_topk(qs, df, k=5, n_centroids=8, nprobe=2).collect()
+    assert out, "probed cells produced no candidates"
+    for r in out:
+        assert ccell[r.neighbor_id] in probed[r.query_id], \
+            (r.query_id, r.neighbor_id)
+
+
+def test_ivf_pq_corpus_ships_only_id_cell_codes(spark):
+    """Scale contract: the corpus side of the probe join is a single
+    Project/Generate pass shipping (id, cell, codes) — no vector
+    column crosses the join, and the ONLY hash-partition exchange in
+    the whole query is the final per-query rank window."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from news_crawler_spark.operators.similarity import ivf_assign
+
+    df = _df(spark, _vectors(n=40))
+    qs = df.where("vec_id < 4")
+    plan = (ivf_pq_topk(qs, df, k=5, n_centroids=8, nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1  # rank window
+    assert re.search(r"BroadcastHashJoin \[cell#\d+\], \[cell#\d+\]", plan)
+    # the logical columns crossing the probe join are exactly
+    # (id, cell, codes) — the vector dies at the encode projection
+    # (the plan's Project lines truncate inside the literal codebook
+    # array, so assert the DataFrame-level contract the join consumes)
+    centroids = (df.orderBy("vec_id").limit(8)
+                 .select(F.col("vec_id").cast("int").alias("cell"),
+                         F.col("embedding").alias("cvec")))
+    cbs = pq_codebooks(df, m=4, ks=8)
+    corpus_side = pq_encode(ivf_assign(df, centroids, nprobe=1), cbs,
+                            keep=("cell",))
+    assert corpus_side.columns == ["id", "cell", "codes"]
+    # and the corpus side reaches the join without any exchange: the
+    # single hash exchange sits ABOVE the join (window side)
+    join_pos = plan.index("BroadcastHashJoin")
+    assert "Exchange hashpartitioning" not in plan[join_pos:]
