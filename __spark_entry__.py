@@ -2502,7 +2502,15 @@ def q_ivf_pq_ann(spark, sf_dir):
     (id, cell, codes) into the probe join — one Project/Generate pass,
     zero corpus exchanges (plan-asserted tests/test_pq.py). Cells,
     codes, and ranking all replay value-exactly in SQL (6dp rounding +
-    id ties at every ordering). Queries = first 8 vectors, k=5."""
+    id ties at every ordering). Queries = first 8 vectors, k=5.
+
+    Bench-scale note: at sandbox sf the wall time is dominated by the
+    per-execution compile of the literal centroid+codebook expression
+    trees (~2k corpus rows do negligible data work; profiled: the
+    assignment/encode projections cost seconds EMPTY). That constant
+    amortizes to zero at real corpus sizes, where the win is the
+    point: the ADC stage touches nprobe/n_centroids of the corpus and
+    the corpus pass stays Project-only."""
     from news_crawler_spark.operators.pq import ivf_pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")

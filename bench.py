@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "crawl_trap_hosts",
     "anchor_text_topk",
     "pq_ann",
+    "ivf_pq_ann",
+    "lsh_ann",
     "bpe_merges",
     "trustrank_scores",
     "corpus_snapshot_diff",
@@ -110,6 +112,55 @@ def run_query_suite(spark) -> dict[str, float]:
         t0 = time.perf_counter()
         _force(qs[name](spark, SF_DIR))
         out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def ingest_throughput(spark) -> dict:
+    """DedupState at bench scale: three sf-sized batches against
+    ACCUMULATED persisted state — the number behind the "recrawls
+    don't re-shingle" claim. Batch 1 is fresh corpus (every doc
+    shingles + signs), batch 2 is a 100% recrawl (every doc exact-dups
+    via the fingerprint join and must skip the signature stage
+    entirely — the fast path), batch 3 is a half-recrawl/half-mutated
+    mix. Reports per-batch docs/s, verdict counts, and the
+    fresh-vs-recrawl speedup (the fast-path factor)."""
+    from news_crawler_spark.ingest import DedupState
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+    n = docs.count()
+    root = tempfile.mkdtemp(prefix="bench_ingest_")
+    out: dict = {"n_docs_per_batch": n, "batches": []}
+    try:
+        st = DedupState(spark, root)
+        recrawl = docs.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        mixed = docs.select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" trailing recrawl "
+                                                     "delta token")))
+            .alias("text"))
+        secs: dict[str, float] = {}
+        for name, batch in (("fresh", docs), ("recrawl", recrawl),
+                            ("mixed", mixed)):
+            t0 = time.perf_counter()
+            st.ingest(batch, name)
+            secs[name] = time.perf_counter() - t0
+            lin = (st.lineage.read()
+                   .filter(F.col("batch_id") == name).collect()[0])
+            out["batches"].append({
+                "batch": name,
+                "sec": round(secs[name], 3),
+                "docs_per_sec": round(n / secs[name], 1),
+                "exact": int(lin.n_exact), "near": int(lin.n_near),
+                "new": int(lin.n_new),
+            })
+        out["exact_fastpath_speedup"] = round(
+            secs["fresh"] / secs["recrawl"], 2)
+        out["state_band_rows"] = st.bands.read().count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 
@@ -549,6 +600,8 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     queries = run_query_suite(spark)
+    ingest = (None if os.environ.get("SPARK_GRAFT_BENCH_SKIP_INGEST") == "1"
+              else ingest_throughput(spark))
     spark.stop()
 
     result = {
@@ -558,6 +611,8 @@ def main() -> None:
         "queries": queries,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
     }
+    if ingest is not None:
+        result["ingest"] = ingest
 
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
         # N vs 4N: local[2] vs local[8] — both below this SMT box's

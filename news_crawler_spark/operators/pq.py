@@ -59,8 +59,16 @@ def pq_codebooks(corpus: DataFrame, m: int = 4, ks: int = 8,
     with cc = <cvec, cvec> accumulated in index order."""
     rows = (corpus.select(id_col, vec_col).orderBy(id_col).limit(ks)
             .collect())
+    return _codebooks_from_rows(rows, m, ks, vec_col)
+
+
+def _codebooks_from_rows(rows, m: int, ks: int,
+                         vec_col: str) -> list[list[tuple[list[float], float]]]:
+    """Codebooks from already-collected head rows — lets ivf_pq_topk
+    fetch the corpus head ONCE for both centroids and codebooks."""
     if len(rows) < ks:
         raise ValueError(f"corpus has {len(rows)} rows < ks={ks}")
+    rows = rows[:ks]
     dim = len(rows[0][vec_col])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -209,14 +217,27 @@ def ivf_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     a SQL oracle replays cells, codes, and ranking value-exactly.
     Recall caveat (same as every IVF-PQ): a true neighbor outside the
     probed cells is missed — nprobe is the recall/cost lever."""
+    from pyspark.sql import types as T
+
     from news_crawler_spark.operators.similarity import ivf_assign
 
-    centroids = (
-        corpus.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).cast("int").alias("cell"),
-                F.col(vec_col).alias("cvec"))
-    )
-    cbs = pq_codebooks(corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    # ONE corpus TakeOrdered feeds centroids AND codebooks; the
+    # centroid table is rebuilt as a local literal DataFrame so each
+    # downstream ivf_assign collect() is a no-op job, not another
+    # corpus scan (measured: the naive form ran three corpus
+    # TakeOrdereds and doubled the query)
+    head = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(max(n_centroids, ks)).collect())
+    if len(head) < n_centroids:
+        raise ValueError(
+            f"corpus has {len(head)} rows < n_centroids={n_centroids}")
+    cbs = _codebooks_from_rows(head, m, ks, vec_col)
+    spark = corpus.sparkSession
+    vec_type = corpus.schema[vec_col].dataType
+    centroids = spark.createDataFrame(
+        [(int(r[id_col]), r[vec_col]) for r in head[:n_centroids]],
+        T.StructType([T.StructField("cell", T.IntegerType()),
+                      T.StructField("cvec", vec_type)]))
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
     codes = pq_encode(assigned, cbs, id_col=id_col, vec_col=vec_col,
                       keep=("cell",))

@@ -215,11 +215,18 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
     Lloyd-refined centroids (kmeans_refine) when recall matters more
     than replayability. Same join shape either way.
     """
-    centroids = (
-        corpus.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).cast("int").alias("cell"),
-                F.col(vec_col).alias("cvec"))
-    )
+    # one corpus TakeOrdered, rebuilt as a local literal table: both
+    # ivf_assign calls below collect() the centroids, and without the
+    # materialization each collect re-runs the corpus scan
+    from pyspark.sql import types as T
+
+    head = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(n_centroids).collect())
+    centroids = corpus.sparkSession.createDataFrame(
+        [(int(r[id_col]), r[vec_col]) for r in head],
+        T.StructType([T.StructField("cell", T.IntegerType()),
+                      T.StructField("cvec",
+                                    corpus.schema[vec_col].dataType)]))
     c_cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
     q_cells = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
