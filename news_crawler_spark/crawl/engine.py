@@ -73,7 +73,8 @@ class CrawlEngine:
                  bloom_shards: int = 16, bloom_min_resolved: int = 2_000_000,
                  retry_jitter_span: int = 0, compact_ratio: float = 4.0,
                  compact_min_resolved: int = 100_000,
-                 archive_dir: str | None = None):
+                 archive_dir: str | None = None,
+                 archive_compress: bool = False):
         self.spark = spark
         self.hosts = hosts
         self.fetcher = fetcher
@@ -101,7 +102,10 @@ class CrawlEngine:
         # Archives live OUTSIDE lineage on purpose — they are derived
         # data (replaying a round rewrites byte-identical records), so
         # kill/resume never needs to roll them back.
+        # archive_compress=True writes .warc.gz segments (one gzip
+        # member per record, pinned mtime — still deterministic).
         self.archive_dir = archive_dir
+        self.archive_compress = archive_compress
         self.compactions = 0
         self._frontier_rows = 0          # rows in the frontier table
         self._resolved_in_frontier = 0   # ... of which already resolved
@@ -205,7 +209,8 @@ class CrawlEngine:
             F.lit("text/plain").alias("content_type"),
             F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
              .alias("payload"))
-        return write_warc(recs, out, warc_type="conversion")
+        return write_warc(recs, out, warc_type="conversion",
+                          compress=self.archive_compress)
 
     # -- lifecycle --------------------------------------------------------
     def init(self, seeds: DataFrame) -> None:

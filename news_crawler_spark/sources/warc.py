@@ -13,7 +13,12 @@ module gives the engine that capability Spark-first:
   the record framing is not line-oriented and gzip members are not
   splittable, so whole-file tasks ARE the right parallel unit). Record
   parsing happens inside ``mapInPandas`` — Arrow-batched, never
-  per-row Python at the DataFrame surface.
+  per-row Python at the DataFrame surface. Both plain ``.warc`` and
+  Common Crawl's actual on-disk form ``.warc.gz`` (one gzip MEMBER
+  per record, members concatenated — the layout that lets an index
+  server range-request a single record) are read transparently:
+  ``gzip.decompress`` consumes the whole member chain and the frame
+  parser sees one contiguous stream.
 * **Writer geometry** — one segment per input partition, written from
   the executor, with a manifest row (path, record count, byte count,
   payload digest) per segment. Segment content is a deterministic
@@ -32,6 +37,7 @@ round-trip exactly (tested).
 
 from __future__ import annotations
 
+import gzip
 import hashlib
 import os
 import uuid
@@ -87,6 +93,28 @@ def record_bytes(url: str, warc_date: str, content_type: str,
     return head + payload + _CRLF + _CRLF
 
 
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+def record_member_gz(record: bytes) -> bytes:
+    """One WARC record as one gzip MEMBER — the Common Crawl
+    ``.warc.gz`` layout (record-granular members so an index server
+    can range-request and decompress a single record). ``mtime=0``
+    pins the gzip header timestamp, keeping the member a pure
+    function of the record bytes — the idempotent-writer contract
+    extends to the compressed form (determinism unit-tested)."""
+    return gzip.compress(record, compresslevel=6, mtime=0)
+
+
+def split_members(blob: bytes) -> bytes:
+    """Decompress a concatenated-gzip-member segment to one contiguous
+    record stream (``gzip.decompress`` consumes every member); plain
+    segments pass through untouched, keyed on the gzip magic."""
+    if blob[:2] == _GZ_MAGIC:
+        return gzip.decompress(blob)
+    return blob
+
+
 def parse_segment(blob: bytes) -> Iterator[tuple[dict, bytes]]:
     """Yield (header-fields, payload) per record in one segment.
     Payloads are sliced by Content-Length (binary-safe); header keys
@@ -125,7 +153,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     multimodal operators' contract)."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc")
+        .option("pathGlobFilter", "*.warc*")
         .load(path)
         .select("path", "content")
     )
@@ -134,7 +162,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = {k.name: [] for k in WARC_RECORD.fields}
             for r in pdf.itertuples(index=False):
-                for fields, payload in parse_segment(bytes(r.content)):
+                for fields, payload in parse_segment(
+                        split_members(bytes(r.content))):
                     rows["segment"].append(os.path.basename(r.path))
                     rows["record_id"].append(fields.get("warc-record-id", ""))
                     rows["warc_type"].append(fields.get("warc-type", ""))
@@ -149,14 +178,20 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_warc(df: DataFrame, out_dir: str,
-               warc_type: str = "response") -> list[dict]:
+               warc_type: str = "response",
+               compress: bool = False) -> list[dict]:
     """WARC write: each partition of ``df`` (columns url, warc_date,
     content_type, payload:binary) becomes one segment
-    ``part-{pid:05d}.warc``; returns the collected manifest (this IS
+    ``part-{pid:05d}.warc`` (or ``.warc.gz`` with ``compress=True`` —
+    one gzip member PER RECORD, the Common Crawl segment layout, with
+    pinned mtime so compressed segments stay a deterministic function
+    of the rows); returns the collected manifest (this IS
     the action — a sink, like ``df.write``). Segment names come from
     the partition id and the bytes are a deterministic function of
     the partition's rows, so a retried task overwrites its own
-    identical output.
+    identical output. The manifest's ``n_bytes``/``payload_sha256``
+    describe the UNCOMPRESSED record stream either way, so plain and
+    gzip segments carrying the same records attest identically.
 
     SCOPE: segments are written with plain file IO, so ``out_dir``
     must be a filesystem every executor shares with the driver
@@ -172,17 +207,21 @@ def write_warc(df: DataFrame, out_dir: str,
         pid = TaskContext.get().partitionId()
         buf = bytearray()
         n_rec = 0
+        n_raw = 0
         digest = hashlib.sha256()
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                buf += record_bytes(r.url, r.warc_date, r.content_type,
-                                    payload, warc_type=warc_type)
+                rec = record_bytes(r.url, r.warc_date, r.content_type,
+                                   payload, warc_type=warc_type)
+                n_raw += len(rec)
+                buf += record_member_gz(rec) if compress else rec
                 digest.update(payload)
                 n_rec += 1
         if n_rec == 0:
             return
-        path = os.path.join(out_dir, f"part-{pid:05d}.warc")
+        ext = "warc.gz" if compress else "warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
         # per-attempt temp name: two live attempts of one task
         # (speculation / a zombie task surviving a retry) must never
         # share a staging file, or their writes could interleave and
@@ -195,7 +234,7 @@ def write_warc(df: DataFrame, out_dir: str,
         os.replace(tmp, path)  # atomic: readers never see a torn segment
         yield pd.DataFrame({
             "path": [path], "n_records": [n_rec],
-            "n_bytes": [len(buf)], "payload_sha256": [digest.hexdigest()],
+            "n_bytes": [n_raw], "payload_sha256": [digest.hexdigest()],
         })
 
     return [r.asDict() for r in df.mapInPandas(run, schema=MANIFEST).collect()]

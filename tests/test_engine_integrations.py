@@ -76,6 +76,32 @@ def test_archive_replay_is_byte_identical(spark, crawl, tmp_path):
     assert segs and all(open(s, "rb").read() for s in segs)
 
 
+def test_compressed_archive_reads_back_identical(spark, crawl, tmp_path):
+    """archive_compress=True writes .warc.gz segments (one gzip member
+    per record) that read back record-identical to the plain archive,
+    and the manifests attest the same uncompressed stream."""
+    eng, _, _ = crawl
+    staged = eng.documents.read().select(F.col("doc_id"), "spans").limit(50)
+    plain_dir, gz_dir = str(tmp_path / "plain"), str(tmp_path / "gz")
+    old_dir, old_comp = eng.archive_dir, eng.archive_compress
+    try:
+        eng.archive_dir, eng.archive_compress = plain_dir, False
+        m_plain = eng._archive_round(7, staged)
+        eng.archive_dir, eng.archive_compress = gz_dir, True
+        m_gz = eng._archive_round(7, staged)
+    finally:
+        eng.archive_dir, eng.archive_compress = old_dir, old_comp
+    key = lambda ms: sorted((m["n_records"], m["n_bytes"],  # noqa: E731
+                             m["payload_sha256"]) for m in ms)
+    assert key(m_plain) == key(m_gz)
+    assert glob.glob(gz_dir + "/round-00000007/*.warc.gz")
+    want = sorted((r.url, bytes(r.payload)) for r in
+                  read_warc(spark, plain_dir + "/round-*").collect())
+    got = sorted((r.url, bytes(r.payload)) for r in
+                 read_warc(spark, gz_dir + "/round-*").collect())
+    assert got == want and got
+
+
 def test_trap_report_counts_resolved_urls(crawl):
     eng, _, stats = crawl
     rep = eng.trap_report(min_urls=5).collect()

@@ -14,6 +14,8 @@ from news_crawler_spark.sources.warc import (
     parse_segment,
     read_warc,
     record_bytes,
+    record_member_gz,
+    split_members,
     write_warc,
 )
 
@@ -83,6 +85,62 @@ def test_record_bytes_content_addressed():
     b = record_bytes("https://x", "2026-01-01T00:00:00Z", "t/h", b"p")
     c = record_bytes("https://x", "2026-01-01T00:00:00Z", "t/h", b"q")
     assert a == b and a != c
+
+
+def test_warc_gz_round_trip_equals_plain(spark, tmp_path):
+    """Compressed segments (one gzip member per record — the Common
+    Crawl layout) must read back record-identical to plain segments,
+    and a mixed directory reads both transparently."""
+    plain, gz = str(tmp_path / "plain"), str(tmp_path / "gz")
+    m_plain = write_warc(_df(spark, ROWS), plain)
+    m_gz = write_warc(_df(spark, ROWS), gz, compress=True)
+    assert all(m["path"].endswith(".warc.gz") for m in m_gz)
+    # manifests attest the UNCOMPRESSED stream: identical either way
+    key = lambda ms: sorted((m["n_records"], m["n_bytes"],  # noqa: E731
+                             m["payload_sha256"]) for m in ms)
+    assert key(m_plain) == key(m_gz)
+
+    want = sorted((r.url, r.warc_date, r.content_type, bytes(r.payload))
+                  for r in read_warc(spark, plain).collect())
+    got = sorted((r.url, r.warc_date, r.content_type, bytes(r.payload))
+                 for r in read_warc(spark, gz).collect())
+    assert got == want == sorted(ROWS)
+
+    # mixed dir: one plain + one gz segment under the same root
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    os.link(glob.glob(plain + "/*.warc")[0], str(mixed / "a.warc"))
+    os.link(glob.glob(gz + "/*.warc.gz")[0], str(mixed / "b.warc.gz"))
+    assert read_warc(spark, str(mixed)).count() > 0
+
+
+def test_warc_gz_write_is_deterministic(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc(_df(spark, ROWS), a, compress=True)
+    write_warc(_df(spark, ROWS), b, compress=True)
+    pas, pbs = (sorted(glob.glob(d + "/*.warc.gz")) for d in (a, b))
+    assert pas and len(pas) == len(pbs)
+    for pa, pb in zip(pas, pbs):
+        assert open(pa, "rb").read() == open(pb, "rb").read()
+
+
+def test_gz_members_are_record_granular():
+    """Each record is its own gzip member (range-request property):
+    decompressing ONE member yields exactly one record, and the
+    concatenation splits back to the full stream — binary-safe with
+    embedded framing bytes in the payload."""
+    import gzip
+
+    recs = [record_bytes(u, d, c, p) for u, d, c, p in ROWS]
+    members = [record_member_gz(r) for r in recs]
+    one = gzip.decompress(members[0])
+    assert one == recs[0]
+    assert split_members(b"".join(members)) == b"".join(recs)
+    parsed = list(parse_segment(split_members(b"".join(members))))
+    assert [(f["warc-target-uri"], p) for f, p in parsed] == \
+        [(u, p) for u, d, c, p in ROWS]
+    # plain stream passes through untouched
+    assert split_members(b"".join(recs)) == b"".join(recs)
 
 
 def test_cdx_records_surt_and_root_path(spark):
