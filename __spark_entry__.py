@@ -888,6 +888,40 @@ def q_lang_id(spark, sf_dir):
             .groupBy("lang", "lang_guess").agg(F.count("*").alias("n")))
 
 
+def q_script_mix(spark, sf_dir):
+    """Script-composition profiling (functions/textstats.py
+    script_fracs/dominant_script): per-doc fraction of non-whitespace
+    chars in Hangul/CJK/Cyrillic/Latin/digit classes + the dominant
+    script under a fixed priority — the router signal a multilingual
+    CC-scale pipeline shards on before language-specific stages (and
+    the signal the reference's Korean-focused feeds would key on:
+    src/secbot/fetchers/news.py mixes Korean headlines with Latin
+    URLs/board chrome). Scripts synthesized deterministically onto the
+    documents table (doc_id%4 appends a Hangul/CJK/Cyrillic tail or
+    nothing); pure per-row strip-and-diff regex counting — ZERO
+    shuffles before the presentation sort."""
+    from news_crawler_spark.functions.textstats import (
+        dominant_script,
+        script_fracs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tail = F.element_at(
+        F.array(F.lit(" 한국어 기사 본문 텍스트"),
+                F.lit(" 中文新闻内容正文如下"),
+                F.lit(" русский текст статьи"),
+                F.lit("")),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"))
+    aug = docs.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text"))
+    fr = script_fracs(F.col("text"))
+    staged = aug.select(
+        "doc_id", *[v.alias(k) for k, v in fr.items()])
+    return (staged
+            .select("*", dominant_script().alias("dominant_script"))
+            .orderBy("doc_id"))
+
+
 def q_binary_meta(spark, sf_dir):
     """Multimodal plumbing: an opaque binary payload column
     (synthesized deterministically from text, standing in for
@@ -2950,6 +2984,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         "pagerank_authority": q_pagerank_authority,
         "event_correlation": q_event_correlation,
+        # -- (5) new after the round-5 window froze: pytest-oracle
+        #    evidence this round, rotate into the window next round --
+        "script_mix": q_script_mix,
     }
 
 
@@ -3881,6 +3918,51 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'other' END AS lang_guess
               FROM documents)
             SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2
+        """,
+        "script_mix": """
+            WITH t AS (
+              SELECT doc_id,
+                     text || [' 한국어 기사 본문 텍스트',
+                              ' 中文新闻内容正文如下',
+                              ' русский текст статьи',
+                              ''][(doc_id % 4) + 1] AS text
+              FROM documents),
+            s AS (SELECT doc_id,
+                         regexp_replace(text, '\\s+', '', 'g') AS b
+                  FROM t),
+            f AS (
+              SELECT doc_id, CAST(length(b) AS BIGINT) AS n_chars,
+                round(CASE WHEN length(b) > 0 THEN
+                  (length(b) - length(regexp_replace(b, '[가-힯]', '', 'g')))
+                  / CAST(length(b) AS DOUBLE) ELSE 0.0 END, 6) AS hangul_frac,
+                round(CASE WHEN length(b) > 0 THEN
+                  (length(b) - length(regexp_replace(b, '[一-鿿]', '', 'g')))
+                  / CAST(length(b) AS DOUBLE) ELSE 0.0 END, 6) AS cjk_frac,
+                round(CASE WHEN length(b) > 0 THEN
+                  (length(b) - length(regexp_replace(b, '[Ѐ-ӿ]', '', 'g')))
+                  / CAST(length(b) AS DOUBLE) ELSE 0.0 END, 6) AS cyrillic_frac,
+                round(CASE WHEN length(b) > 0 THEN
+                  (length(b) - length(regexp_replace(b, '[A-Za-z]', '', 'g')))
+                  / CAST(length(b) AS DOUBLE) ELSE 0.0 END, 6) AS latin_frac,
+                round(CASE WHEN length(b) > 0 THEN
+                  (length(b) - length(regexp_replace(b, '[0-9]', '', 'g')))
+                  / CAST(length(b) AS DOUBLE) ELSE 0.0 END, 6) AS digit_frac
+              FROM s)
+            SELECT *,
+              CASE WHEN greatest(hangul_frac, cjk_frac, cyrillic_frac,
+                                 latin_frac, digit_frac) = 0 THEN 'other'
+                   WHEN hangul_frac = greatest(hangul_frac, cjk_frac,
+                        cyrillic_frac, latin_frac, digit_frac) THEN 'hangul'
+                   WHEN cjk_frac = greatest(hangul_frac, cjk_frac,
+                        cyrillic_frac, latin_frac, digit_frac) THEN 'cjk'
+                   WHEN cyrillic_frac = greatest(hangul_frac, cjk_frac,
+                        cyrillic_frac, latin_frac, digit_frac) THEN 'cyrillic'
+                   WHEN latin_frac = greatest(hangul_frac, cjk_frac,
+                        cyrillic_frac, latin_frac, digit_frac) THEN 'latin'
+                   WHEN digit_frac = greatest(hangul_frac, cjk_frac,
+                        cyrillic_frac, latin_frac, digit_frac) THEN 'digit'
+                   ELSE 'other' END AS dominant_script
+            FROM f ORDER BY doc_id
         """,
         "binary_meta": """
             SELECT doc_id,

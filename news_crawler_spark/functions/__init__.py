@@ -18,9 +18,11 @@ from news_crawler_spark.functions.urlops import (
     url_query,
 )
 from news_crawler_spark.functions.textstats import (
+    dominant_script,
     fingerprint,
     lang_guess,
     quality_score,
+    script_fracs,
     token_count,
 )
 
@@ -39,7 +41,9 @@ __all__ = [
     "url_path",
     "url_query",
     "fingerprint",
+    "dominant_script",
     "lang_guess",
+    "script_fracs",
     "quality_score",
     "token_count",
 ]

@@ -71,6 +71,58 @@ def lang_guess(col) -> F.Column:
     )
 
 
+# Unicode script classes for composition profiling. Plain codepoint
+# ranges (no \p{...} properties) so Java regex (Spark) and RE2
+# (DuckDB oracle) interpret them identically.
+SCRIPT_CLASSES = [
+    ("hangul", r"[가-힯]"),
+    ("cjk", r"[一-鿿]"),
+    ("cyrillic", r"[Ѐ-ӿ]"),
+    ("latin", r"[A-Za-z]"),
+    ("digit", r"[0-9]"),
+]
+
+
+def script_fracs(col) -> dict[str, F.Column]:
+    """Per-document script composition: the fraction of non-whitespace
+    characters in each script class (strip-and-diff counting — the
+    same trick as punct_ratio, no regexp_count dependency), rounded to
+    6 dp so any engine replays the values. The multilingual-corpus
+    router signal: a CC-scale pipeline shards by script before
+    language-specific tokenizers/filters run, and mixed-script docs
+    (boilerplate in one script, body in another) are exactly the ones
+    a single-label lang-ID misroutes — lang_guess answers "which
+    language", this answers "how much of each". Returns named columns
+    {n_chars, <class>_frac...}; compose dominant-script from the
+    STAGED columns (one projection) rather than re-calling this, or
+    each regex pass runs twice."""
+    c = _c(col)
+    base = F.regexp_replace(c, r"\s+", "")
+    n = F.length(base)
+    out: dict[str, F.Column] = {"n_chars": n.cast("long")}
+    for name, pat in SCRIPT_CLASSES:
+        cnt = n - F.length(F.regexp_replace(base, pat, ""))
+        out[f"{name}_frac"] = F.round(
+            F.when(n > 0, cnt.cast("double") / n.cast("double"))
+            .otherwise(F.lit(0.0)), 6)
+    return out
+
+
+def dominant_script(frac_cols: dict[str, F.Column] | None = None) -> F.Column:
+    """Dominant script from already-staged ``<class>_frac`` columns:
+    the FIRST class (in SCRIPT_CLASSES order) attaining the max frac —
+    a fixed priority, so ties are deterministic and a SQL CASE chain
+    replays the pick; 'other' when no class matched any character."""
+    cols = frac_cols or {f"{n}_frac": F.col(f"{n}_frac")
+                         for n, _ in SCRIPT_CLASSES}
+    fracs = [cols[f"{n}_frac"] for n, _ in SCRIPT_CLASSES]
+    mx = F.greatest(*fracs)
+    chain = F.when(mx == 0, F.lit("other"))
+    for name, _ in SCRIPT_CLASSES:
+        chain = chain.when(cols[f"{name}_frac"] == mx, F.lit(name))
+    return chain.otherwise(F.lit("other"))
+
+
 def fingerprint(col) -> F.Column:
     """Document fingerprint: sha2 over whitespace-normalized lowercase
     text — the exact-dedup key at corpus scale."""

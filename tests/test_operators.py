@@ -87,6 +87,39 @@ def test_token_count_and_lang(spark):
     assert got[0].n == 11
 
 
+def test_script_fracs_and_dominant(spark):
+    from news_crawler_spark.functions.textstats import (
+        dominant_script,
+        script_fracs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "보안 취약점 발견"),         # pure hangul
+         (2, "abc 中文 def"),             # latin 6 / cjk 2 of 8
+         (3, "12345"),                    # digits
+         (4, "русский text"),             # cyrillic 7 / latin 4 of 11
+         (5, "!!! ???"),                  # no class at all
+         (6, "")],                        # empty
+        "doc_id long, text string")
+    fr = script_fracs(F.col("text"))
+    staged = df.select("doc_id",
+                       *[v.alias(k) for k, v in fr.items()])
+    got = {r.doc_id: r for r in
+           staged.select("*", dominant_script().alias("dom")).collect()}
+    assert got[1].dom == "hangul" and got[1].hangul_frac == 1.0
+    assert got[2].dom == "latin"
+    assert got[2].latin_frac == round(6 / 8, 6)
+    assert got[2].cjk_frac == round(2 / 8, 6)
+    assert got[3].dom == "digit" and got[3].digit_frac == 1.0
+    assert got[4].dom == "cyrillic"
+    assert got[5].dom == "other" and got[5].n_chars == 6
+    assert got[6].dom == "other" and got[6].n_chars == 0
+    # fractions over non-whitespace chars always sum <= 1
+    for r in got.values():
+        assert (r.hangul_frac + r.cjk_frac + r.cyrillic_frac
+                + r.latin_frac + r.digit_frac) <= 1.0 + 1e-9
+
+
 # ---------------------------------------------------------------- dedup
 def test_first_wins_dedup(spark):
     df = spark.createDataFrame(
