@@ -663,6 +663,27 @@ def q_decontamination(spark, sf_dir):
     return contamination_overlap(docs, bench, gram_n=5)
 
 
+def q_bloom_decontamination(spark, sf_dir):
+    """Bloom-filter decontamination (operators/quality.py
+    bloom_contamination) — contamination_overlap's scale path: the
+    SAME benchmark fixture (15-token excerpts of every 50th doc) folds
+    into a 2^16-bit Bloom mask that enters the corpus scan as one
+    1024-long literal array; the corpus pass is Project/Generate + one
+    per-doc groupBy, zero joins, and the sha256 double-hashed bit
+    positions replay in SQL so the oracle rebuilds the identical mask
+    and per-gram verdicts. No false negatives (flagged ⊇ the exact
+    check's hits — property-tested), FPs at the standard Bloom rate."""
+    from news_crawler_spark.operators.quality import bloom_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bench = (docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     F.array_join(F.slice(toks, 6, 15), " ").alias("text")))
+    return bloom_contamination(docs, bench, gram_n=5,
+                               m_bits=1 << 16, k_hashes=2)
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing (functions/pii.py): corpus text with planted
     email / card / IP / phone identifiers is redacted to typed
@@ -2987,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (5) new after the round-5 window froze: pytest-oracle
         #    evidence this round, rotate into the window next round --
         "script_mix": q_script_mix,
+        "bloom_decontamination": q_bloom_decontamination,
     }
 
 
@@ -3583,6 +3605,66 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(h.n_hits, 0) / s.n_grams, 6) AS hit_frac,
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM sizes s LEFT JOIN hits h USING (doc_id)
+        """,
+        "bloom_decontamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            cg AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) >= 5
+                              THEN list_transform(range(1, len(t) - 3),
+                                     i -> array_to_string(t[i:i+4], ' '))
+                              ELSE [array_to_string(t, ' ')] END) AS gram
+                FROM toks)),
+            btoks AS (
+              SELECT t[6:20] AS t FROM toks WHERE doc_id % 50 = 0),
+            bg AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(CASE WHEN len(t) >= 5
+                              THEN list_transform(range(1, len(t) - 3),
+                                     i -> array_to_string(t[i:i+4], ' '))
+                              ELSE [array_to_string(t, ' ')] END) AS gram
+                FROM btoks)),
+            bh AS (
+              SELECT ('0x'||substr(sha256(gram),1,15))::BIGINT % 65536 AS h1,
+                     (('0x'||substr(sha256(gram),16,15))::BIGINT % 65536) + 1
+                       AS h2
+              FROM bg),
+            pos AS (
+              SELECT unnest([h1 % 65536, (h1 + h2) % 65536]) AS p FROM bh),
+            mask AS (
+              SELECT CAST(p // 63 AS INT) AS w,
+                     bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+              FROM pos GROUP BY 1),
+            dense AS (
+              SELECT w, coalesce(m.bits, 0::BIGINT) AS bits
+              FROM (SELECT unnest(range(1041)) AS w)
+              LEFT JOIN mask m USING (w)),
+            arr AS (SELECT list(bits ORDER BY w) AS a FROM dense),
+            ph AS (
+              SELECT doc_id,
+                     ('0x'||substr(sha256(gram),1,15))::BIGINT % 65536 AS h1,
+                     (('0x'||substr(sha256(gram),16,15))::BIGINT % 65536) + 1
+                       AS h2
+              FROM cg),
+            pp AS (SELECT doc_id, h1 % 65536 AS p0,
+                          (h1 + h2) % 65536 AS p1 FROM ph),
+            probe AS (
+              SELECT doc_id,
+                CASE WHEN (a[CAST(p0 // 63 AS INT) + 1]
+                           & (1::BIGINT << CAST(p0 % 63 AS INT))) <> 0
+                      AND (a[CAST(p1 // 63 AS INT) + 1]
+                           & (1::BIGINT << CAST(p1 % 63 AS INT))) <> 0
+                     THEN 1 ELSE 0 END AS hit
+              FROM pp, arr)
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(hit) AS BIGINT) AS n_flagged,
+                   round(sum(hit) / count(*), 6) AS flagged_frac,
+                   sum(hit) > 0 AS maybe_contaminated
+            FROM probe GROUP BY doc_id
         """,
         "pii_redact": """
             WITH t AS (

@@ -23,6 +23,7 @@ from news_crawler_spark.operators.kmeans import kmeans_fit
 from news_crawler_spark.operators.linkrank import pagerank
 from news_crawler_spark.operators.mixture import domain_mixture, training_shuffle
 from news_crawler_spark.operators.quality import (
+    bloom_contamination,
     bm25_scores,
     boilerplate_profile,
     c4_clean,
@@ -83,6 +84,7 @@ __all__ = [
     "domain_mixture",
     "training_shuffle",
     "duplicate_ngram_spans",
+    "bloom_contamination",
     "bm25_scores",
     "c4_clean",
     "perplexity_buckets",

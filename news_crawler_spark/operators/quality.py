@@ -93,6 +93,103 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
     )
 
 
+def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        gram_n: int = 5, m_bits: int = 1 << 16,
+                        k_hashes: int = 2) -> DataFrame:
+    """Bloom-filter decontamination — :func:`contamination_overlap`'s
+    scale path. The exact check broadcasts the benchmark GRAM TABLE
+    into a join; at production benchmark sizes (every eval suite a lab
+    holds out — 10^8 distinct n-grams) that broadcast is gigabytes.
+    Here the benchmark folds into an ``m_bits`` Bloom bitmask whose
+    63-bit words enter the corpus scan as ONE literal array
+    (the ivf_assign/pq-codebook pattern), so the corpus pass is
+    Project/Generate + a single per-doc groupBy — ZERO joins, zero
+    benchmark bytes shuffled, and the filter costs m_bits/8 bytes
+    regardless of benchmark cardinality.
+
+    Bit positions derive from sha256 double hashing (the minhash
+    contract: h1/h2 are 60-bit sha substrings, position_i =
+    (h1 + i·h2) mod m_bits), so ANY engine rebuilds the identical
+    bitmask and per-gram verdicts — the DuckDB oracle replays the
+    whole filter, not just row counts.
+
+    Bloom semantics, stated precisely: NO false negatives — every
+    gram that IS in the benchmark flags (``n_flagged`` ⊇ the exact
+    check's ``n_hits``, property-tested) — and false positives at the
+    standard (1 - e^(-kn/m))^k rate, so ``maybe_contaminated`` is a
+    SUPERSET gate: route flagged docs to the exact join for
+    confirmation, drop-with-FP-budget, or resize m_bits. At the
+    default 2^16 bits the literal array is 1041 longs (~8 KB); past
+    ~2^20 bits swap the literal for a broadcast (word → bits) join —
+    same plan shape, one broadcast hash join added.
+    """
+    from news_crawler_spark.operators.dedup import _shingle_rows
+
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    # 63 bits per mask word (bit index <= 62): a shift by 63
+    # overflows DuckDB's checked BIGINT << and ANSI engines
+    # generally; one wasted bit per word buys engine-portable
+    # masks
+    n_words = (m_bits + 62) // 63
+
+    def _positions(gram_col):
+        digest = F.sha2(gram_col, 256)
+        h1 = F.pmod(F.conv(F.substring(digest, 1, 15), 16, 10)
+                    .cast("long"), F.lit(m_bits))
+        h2 = F.pmod(F.conv(F.substring(digest, 16, 15), 16, 10)
+                    .cast("long"), F.lit(m_bits)) + 1
+        return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+                for i in range(k_hashes)]
+
+    # -- build: benchmark grams → bit positions → per-word OR mask --
+    # distributed partial (bit_or is map-side-combinable), then the
+    # ≤ m/64-row mask collects to the driver and becomes a literal
+    bg = (_shingle_rows(benchmark, text_col, id_col, gram_n)
+          .select("shingle").dropDuplicates())
+    # shiftleft's bit-count arg must be a column only via SQL expr
+    # (the Python API takes a literal int), so positions are staged as
+    # named columns first
+    mask_rows = (
+        bg.select(F.explode(F.array(*_positions(F.col("shingle"))))
+                  .alias("p"))
+        .select((F.col("p") / 63).cast("int").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(p % 63 AS INT))").alias("b"))
+        .groupBy("w").agg(F.expr("bit_or(b)").alias("bits"))
+        .collect())
+    words = [0] * n_words
+    for r in mask_rows:
+        words[r.w] = int(r.bits)
+    bits_lit = F.array(*[F.lit(x).cast("long") for x in words])
+
+    # -- probe: corpus grams check k positions row-locally ----------
+    cg = _shingle_rows(corpus, text_col, id_col, gram_n).select(
+        F.col(id_col),
+        *[p.alias(f"_p{i}")
+          for i, p in enumerate(_positions(F.col("shingle")))])
+    hit = F.lit(True)
+    for i in range(k_hashes):
+        word = F.element_at(bits_lit,
+                            (F.col(f"_p{i}") / 63).cast("int") + 1)
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST(_p{i} % 63 AS INT))")
+        hit = hit & (word.bitwiseAND(bit) != 0)
+    return (
+        cg.select(F.col(id_col), hit.cast("long").alias("_hit"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_grams"),
+             F.sum("_hit").alias("n_flagged"))
+        .select(
+            F.col(id_col), "n_grams", "n_flagged",
+            F.round(F.col("n_flagged") / F.col("n_grams"), 6)
+            .alias("flagged_frac"),
+            (F.col("n_flagged") > 0).alias("maybe_contaminated"),
+        )
+    )
+
+
 def lm_cross_entropy(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Perplexity-style quality scoring (the CCNet filter): train an

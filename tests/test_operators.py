@@ -274,6 +274,47 @@ def test_contamination_overlap_planted(spark):
     assert not got[2].contaminated and got[2].n_hits == 0
 
 
+def test_bloom_contamination_no_false_negatives(spark):
+    """The Bloom path must flag a SUPERSET of the exact check's hits
+    (no false negatives — the property Bloom guarantees), agree on the
+    planted-contamination verdicts at this scale, and its corpus plan
+    must be join-free (the mask is a literal, not a joined table)."""
+    from news_crawler_spark.operators import (
+        bloom_contamination,
+        contamination_overlap,
+    )
+
+    rows = [(i, f"unique filler w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f "
+                f"w{i}g w{i}h") for i in range(2, 30)]
+    rows.append((1, "the quick brown fox jumps over the lazy dog today"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "quick brown fox jumps over the lazy")],
+        "doc_id long, text string")
+
+    exact = {r.doc_id: r for r in
+             contamination_overlap(corpus, bench, gram_n=5).collect()}
+    bloom_df = bloom_contamination(corpus, bench, gram_n=5,
+                                   m_bits=1 << 16, k_hashes=2)
+    bloom = {r.doc_id: r for r in bloom_df.collect()}
+
+    assert set(bloom) == set(exact)
+    for d in exact:
+        assert bloom[d].n_grams == exact[d].n_grams, d
+        assert bloom[d].n_flagged >= exact[d].n_hits, d  # no false negs
+    assert bloom[1].maybe_contaminated and bloom[1].n_flagged >= 3
+    # at 2^16 bits vs ~3 bench grams, FPs are ~(kn/m)^k ≈ 1e-8 —
+    # every disjoint doc stays clean in this fixture
+    assert all(not bloom[d].maybe_contaminated
+               for d in bloom if d != 1)
+
+    plan = bloom_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_contamination(corpus, bench, m_bits=1000)
+
+
 def test_url_normalize_rules(spark):
     from news_crawler_spark.functions import url_normalize
 
