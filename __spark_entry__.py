@@ -2008,18 +2008,9 @@ def _incremental_dedup_oracle(num_hashes: int = 32, bands: int = 8) -> str:
 
 def _embedding_near_dup_oracle(dim: int = 64, n_planes: int = 6,
                                seed: int = 42, threshold: float = 0.3) -> str:
-    from news_crawler_spark.operators.similarity import rademacher_signs
-
-    planes = rademacher_signs(dim, n_planes, seed)
-    # each plane's dot product is an explicit left-assoc ±e[d] chain —
-    # identical fold order to Spark's zip_with/aggregate, so the sign
-    # test is bit-exact
-    bucket = " + ".join(
-        "(CASE WHEN (0.0 "
-        + " ".join(f"{'+' if s > 0 else '-'} e[{d + 1}]"
-                   for d, s in enumerate(row))
-        + f") > 0 THEN {1 << p} ELSE 0 END)"
-        for p, row in enumerate(planes))
+    # shared bucket builder (also lsh_ann's) — ONE copy of the
+    # fold-order-sensitive sign-test SQL to keep bit-exact
+    bucket = _rademacher_bucket_sql(dim, n_planes, seed)
     return f"""
             WITH base AS (
               SELECT vec_id, embedding::DOUBLE[] AS e
@@ -3583,19 +3574,21 @@ def oracle_sql() -> dict[str, str]:
             cg AS (
               SELECT DISTINCT doc_id, gram FROM (
                 SELECT doc_id,
-                       unnest(CASE WHEN len(t) >= 5
+                       unnest(CASE WHEN t IS NULL THEN []::VARCHAR[]
+                              WHEN len(t) >= 5
                               THEN list_transform(range(1, len(t) - 3),
                                      i -> array_to_string(t[i:i+4], ' '))
-                              ELSE [array_to_string(t, ' ')] END) AS gram
+                              ELSE [coalesce(array_to_string(t, ' '), '')] END) AS gram
                 FROM toks)),
             btoks AS (
               SELECT t[6:20] AS t FROM toks WHERE doc_id % 50 = 0),
             bg AS (
               SELECT DISTINCT gram FROM (
-                SELECT unnest(CASE WHEN len(t) >= 5
+                SELECT unnest(CASE WHEN t IS NULL THEN []::VARCHAR[]
+                              WHEN len(t) >= 5
                               THEN list_transform(range(1, len(t) - 3),
                                      i -> array_to_string(t[i:i+4], ' '))
-                              ELSE [array_to_string(t, ' ')] END) AS gram
+                              ELSE [coalesce(array_to_string(t, ' '), '')] END) AS gram
                 FROM btoks)),
             sizes AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
             hits AS (SELECT doc_id, count(*) AS n_hits
@@ -3614,19 +3607,21 @@ def oracle_sql() -> dict[str, str]:
             cg AS (
               SELECT DISTINCT doc_id, gram FROM (
                 SELECT doc_id,
-                       unnest(CASE WHEN len(t) >= 5
+                       unnest(CASE WHEN t IS NULL THEN []::VARCHAR[]
+                              WHEN len(t) >= 5
                               THEN list_transform(range(1, len(t) - 3),
                                      i -> array_to_string(t[i:i+4], ' '))
-                              ELSE [array_to_string(t, ' ')] END) AS gram
+                              ELSE [coalesce(array_to_string(t, ' '), '')] END) AS gram
                 FROM toks)),
             btoks AS (
               SELECT t[6:20] AS t FROM toks WHERE doc_id % 50 = 0),
             bg AS (
               SELECT DISTINCT gram FROM (
-                SELECT unnest(CASE WHEN len(t) >= 5
+                SELECT unnest(CASE WHEN t IS NULL THEN []::VARCHAR[]
+                              WHEN len(t) >= 5
                               THEN list_transform(range(1, len(t) - 3),
                                      i -> array_to_string(t[i:i+4], ' '))
-                              ELSE [array_to_string(t, ' ')] END) AS gram
+                              ELSE [coalesce(array_to_string(t, ' '), '')] END) AS gram
                 FROM btoks)),
             bh AS (
               SELECT ('0x'||substr(sha256(gram),1,15))::BIGINT % 65536 AS h1,

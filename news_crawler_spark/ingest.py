@@ -218,10 +218,19 @@ class DedupState:
         derived keys + verdicts, and return the verdict rows
         (doc_id, verdict, matched_id).
 
+        ``batch_id`` must not use the reserved ``compact-`` prefix
+        (compaction lineage markers live there — a colliding id would
+        hit the idempotence check and silently skip the batch).
+
         Idempotent on ``batch_id``: a batch that already has a lineage
         row is NOT re-ingested — its committed verdicts are returned
         (the at-most-once contract a retrying orchestrator needs).
         """
+        if batch_id.startswith("compact-"):
+            raise ValueError(
+                f"batch_id {batch_id!r} uses the reserved 'compact-' "
+                "marker namespace — it would collide with compaction "
+                "lineage rows and be silently skipped")
         done = (self.lineage.read()
                 .filter(F.col("batch_id") == batch_id).limit(1).collect())
         if done:
@@ -450,9 +459,15 @@ class ParagraphState:
         """Classify ``batch`` and return per-doc verdict rows
         ``(doc_id, n_paras, n_new, new_frac)``; commits the batch's
         new paragraph witnesses atomically. Idempotent on
-        ``batch_id``."""
+        ``batch_id``; the ``compact-`` prefix is reserved for
+        compaction markers (see DedupState.ingest)."""
         from news_crawler_spark.operators.paragraphs import paragraph_rows
 
+        if batch_id.startswith("compact-"):
+            raise ValueError(
+                f"batch_id {batch_id!r} uses the reserved 'compact-' "
+                "marker namespace — it would collide with compaction "
+                "lineage rows and be silently skipped")
         done = (self.lineage.read()
                 .filter(F.col("batch_id") == batch_id).limit(1).collect())
         if done:

@@ -217,27 +217,20 @@ def ivf_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     a SQL oracle replays cells, codes, and ranking value-exactly.
     Recall caveat (same as every IVF-PQ): a true neighbor outside the
     probed cells is missed — nprobe is the recall/cost lever."""
-    from pyspark.sql import types as T
+    from news_crawler_spark.operators.similarity import (
+        ivf_assign,
+        literal_centroids,
+    )
 
-    from news_crawler_spark.operators.similarity import ivf_assign
-
-    # ONE corpus TakeOrdered feeds centroids AND codebooks; the
-    # centroid table is rebuilt as a local literal DataFrame so each
-    # downstream ivf_assign collect() is a no-op job, not another
-    # corpus scan (measured: the naive form ran three corpus
-    # TakeOrdereds and doubled the query)
-    head = (corpus.select(id_col, vec_col).orderBy(id_col)
-            .limit(max(n_centroids, ks)).collect())
+    # ONE corpus TakeOrdered feeds centroids AND codebooks (the naive
+    # composition ran three corpus TakeOrdereds and doubled the query)
+    head, centroids = literal_centroids(
+        corpus, n_centroids, id_col, vec_col,
+        head_n=max(n_centroids, ks))
     if len(head) < n_centroids:
         raise ValueError(
             f"corpus has {len(head)} rows < n_centroids={n_centroids}")
     cbs = _codebooks_from_rows(head, m, ks, vec_col)
-    spark = corpus.sparkSession
-    vec_type = corpus.schema[vec_col].dataType
-    centroids = spark.createDataFrame(
-        [(int(r[id_col]), r[vec_col]) for r in head[:n_centroids]],
-        T.StructType([T.StructField("cell", T.IntegerType()),
-                      T.StructField("cvec", vec_type)]))
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
     codes = pq_encode(assigned, cbs, id_col=id_col, vec_col=vec_col,
                       keep=("cell",))

@@ -128,6 +128,10 @@ def bloom_contamination(corpus: DataFrame, benchmark: DataFrame,
 
     if m_bits & (m_bits - 1):
         raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    if k_hashes < 1:
+        # hit starts True and the probe loop ANDs onto it — zero
+        # probes would flag EVERY gram, silently
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
     # 63 bits per mask word (bit index <= 62): a shift by 63
     # overflows DuckDB's checked BIGINT << and ANSI engines
     # generally; one wasted bit per word buys engine-portable

@@ -199,6 +199,28 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     )
 
 
+def literal_centroids(corpus: DataFrame, n_centroids: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      head_n: int | None = None):
+    """Seed centroids as a LOCAL literal table: one corpus TakeOrdered
+    (``head_n`` rows if given, else ``n_centroids``), rebuilt via
+    createDataFrame so every downstream :func:`ivf_assign` collect()
+    is a no-op local job instead of another corpus scan (the naive
+    composition ran one TakeOrdered per consumer). Returns
+    ``(head_rows, centroids_df)`` — ivf_pq_topk feeds the same head
+    rows to the PQ codebooks."""
+    from pyspark.sql import types as T
+
+    head = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(head_n or n_centroids).collect())
+    cent = corpus.sparkSession.createDataFrame(
+        [(int(r[id_col]), r[vec_col]) for r in head[:n_centroids]],
+        T.StructType([T.StructField("cell", T.IntegerType()),
+                      T.StructField("cvec",
+                                    corpus.schema[vec_col].dataType)]))
+    return head, cent
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
              n_centroids: int = 16, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -215,18 +237,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
     Lloyd-refined centroids (kmeans_refine) when recall matters more
     than replayability. Same join shape either way.
     """
-    # one corpus TakeOrdered, rebuilt as a local literal table: both
-    # ivf_assign calls below collect() the centroids, and without the
-    # materialization each collect re-runs the corpus scan
-    from pyspark.sql import types as T
-
-    head = (corpus.select(id_col, vec_col).orderBy(id_col)
-            .limit(n_centroids).collect())
-    centroids = corpus.sparkSession.createDataFrame(
-        [(int(r[id_col]), r[vec_col]) for r in head],
-        T.StructType([T.StructField("cell", T.IntegerType()),
-                      T.StructField("cvec",
-                                    corpus.schema[vec_col].dataType)]))
+    _, centroids = literal_centroids(corpus, n_centroids, id_col, vec_col)
     c_cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell")
     q_cells = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(

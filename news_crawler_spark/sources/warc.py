@@ -151,9 +151,14 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     embarrassingly parallel, and downstream ops see a normal columnar
     DataFrame with the payload as an opaque binary column (the
     multimodal operators' contract)."""
+    # alternation, NOT a trailing wildcard: '*.warc*' would also match
+    # '.inprogress-<uuid>' staging files left by crashed attempts —
+    # parsing a torn temp fails the read (or double-reads a complete
+    # unrenamed one); the suffix-anchored glob admits only published
+    # segments
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc*")
+        .option("pathGlobFilter", "*.{warc,warc.gz}")
         .load(path)
         .select("path", "content")
     )
@@ -222,6 +227,22 @@ def write_warc(df: DataFrame, out_dir: str,
             return
         ext = "warc.gz" if compress else "warc"
         path = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
+        # a retry after a compress-flag change must not leave this
+        # partition's OTHER-extension segment behind — read_warc would
+        # load both and duplicate every record
+        other = os.path.join(
+            out_dir, f"part-{pid:05d}.{'warc' if compress else 'warc.gz'}")
+        if os.path.exists(other):
+            os.remove(other)
+        # sweep stale staging files from crashed prior attempts of this
+        # partition (never published — but disk they hold is dead)
+        import glob as _glob
+
+        for stale in _glob.glob(f"{path}.inprogress-*"):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         # per-attempt temp name: two live attempts of one task
         # (speculation / a zombie task surviving a retry) must never
         # share a staging file, or their writes could interleave and

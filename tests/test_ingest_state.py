@@ -195,6 +195,15 @@ def test_ingest_exact_dups_skip_shingling(spark, tmp_path):
     assert st.bands.read().count() == n_bands
 
 
+def test_reserved_compact_prefix_rejected(spark, tmp_path):
+    """batch_ids in the compaction-marker namespace must raise — a
+    collision would hit the idempotence check and silently skip the
+    batch (data loss)."""
+    st = DedupState(spark, str(tmp_path / "state"))
+    with pytest.raises(ValueError, match="reserved 'compact-'"):
+        st.ingest(_df(spark, "b0"), "compact-0")
+
+
 def test_compact_preserves_verdicts(spark, tmp_path):
     """Band compaction (min doc_id per band key) must not change any
     later verdict: ingest b0+b1, compact, then b2's verdicts equal the

@@ -143,6 +143,41 @@ def test_gz_members_are_record_granular():
     assert split_members(b"".join(recs)) == b"".join(recs)
 
 
+def test_read_warc_ignores_staging_files(spark, tmp_path):
+    """A crashed attempt's '.inprogress-<uuid>' staging file (torn or
+    complete-but-unrenamed) must be invisible to read_warc — the glob
+    is suffix-anchored, so only published segments load."""
+    out = str(tmp_path / "seg")
+    write_warc(_df(spark, ROWS), out)
+    n = read_warc(spark, out).count()
+    published = glob.glob(out + "/*.warc")[0]
+    torn = published + ".inprogress-deadbeef"
+    with open(torn, "wb") as f:
+        f.write(open(published, "rb").read()[:-7])  # torn copy
+    whole = published + ".inprogress-cafebabe"
+    with open(whole, "wb") as f:
+        f.write(open(published, "rb").read())       # unrenamed copy
+    assert read_warc(spark, out).count() == n       # neither is read
+
+    # and a fresh write of the same partition sweeps the stale temps
+    write_warc(_df(spark, ROWS), out)
+    assert not glob.glob(out + "/*.inprogress-*")
+
+
+def test_write_warc_compress_toggle_replaces_sibling(spark, tmp_path):
+    """Re-writing a partition with the other compress setting must
+    remove the old-extension segment — otherwise read_warc loads both
+    and duplicates every record."""
+    out = str(tmp_path / "seg")
+    write_warc(_df(spark, ROWS, n_parts=1), out)
+    write_warc(_df(spark, ROWS, n_parts=1), out, compress=True)
+    assert not glob.glob(out + "/*.warc") or \
+        all(p.endswith(".warc.gz") for p in glob.glob(out + "/*.warc*"))
+    assert read_warc(spark, out).count() == len(ROWS)
+    write_warc(_df(spark, ROWS, n_parts=1), out)  # toggle back
+    assert read_warc(spark, out).count() == len(ROWS)
+
+
 def test_cdx_records_surt_and_root_path(spark):
     df = spark.createDataFrame(
         [("https://news.example.com/docs/7", "20260101000000", "d7", 10),
