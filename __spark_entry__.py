@@ -943,6 +943,37 @@ def q_script_mix(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py
+    resolve_redirects): pointer doubling maps every redirecting URL to
+    its terminal target in log₂(chain) self-joins — 3 rounds cover
+    8-hop chains here (fixture chains are ≤ 4). Edges synthesized from
+    documents (doc_id%5≠0 redirects to doc_id-1, so ids chain down to
+    their %5==0 terminal) plus a planted 2-cycle that must report
+    resolved=false with NULL hops. The oracle unrolls the doubling
+    rounds in SQL; integer hops + min-dst functionalization make the
+    whole resolution value-exact."""
+    from news_crawler_spark.operators.redirects import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents")
+
+    def _u(idc):
+        return F.concat(F.lit("https://h"),
+                        F.pmod(idc, F.lit(50)).cast("string"),
+                        F.lit(".test/r/"), idc.cast("string"))
+
+    edges = (
+        d.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+        .select(_u(F.col("doc_id")).alias("src"),
+                _u(F.col("doc_id") - 1).alias("dst"))
+        .unionByName(spark.createDataFrame(
+            [("https://loop.test/a", "https://loop.test/b"),
+             ("https://loop.test/b", "https://loop.test/a")],
+            "src string, dst string"))
+    )
+    return resolve_redirects(edges, max_rounds=3)
+
+
 def q_binary_meta(spark, sf_dir):
     """Multimodal plumbing: an opaque binary payload column
     (synthesized deterministically from text, standing in for
@@ -3000,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    evidence this round, rotate into the window next round --
         "script_mix": q_script_mix,
         "bloom_decontamination": q_bloom_decontamination,
+        "redirect_resolution": q_redirect_resolution,
     }
 
 
@@ -3995,6 +4027,33 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'other' END AS lang_guess
               FROM documents)
             SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2
+        """,
+        "redirect_resolution": """
+            WITH e0 AS (
+              SELECT 'https://h' || (doc_id % 50) || '.test/r/' || doc_id
+                       AS src,
+                     'https://h' || ((doc_id - 1) % 50) || '.test/r/'
+                       || (doc_id - 1) AS dst
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT * FROM (VALUES
+                ('https://loop.test/a', 'https://loop.test/b'),
+                ('https://loop.test/b', 'https://loop.test/a'))),
+            e AS (SELECT src AS url, min(dst) AS ptr FROM e0 GROUP BY src),
+            s0 AS (SELECT url, ptr, 1::BIGINT AS hops FROM e),
+            s1 AS (SELECT a.url, coalesce(b.ptr, a.ptr) AS ptr,
+                          a.hops + coalesce(b.hops, 0) AS hops
+                   FROM s0 a LEFT JOIN s0 b ON a.ptr = b.url),
+            s2 AS (SELECT a.url, coalesce(b.ptr, a.ptr) AS ptr,
+                          a.hops + coalesce(b.hops, 0) AS hops
+                   FROM s1 a LEFT JOIN s1 b ON a.ptr = b.url),
+            s3 AS (SELECT a.url, coalesce(b.ptr, a.ptr) AS ptr,
+                          a.hops + coalesce(b.hops, 0) AS hops
+                   FROM s2 a LEFT JOIN s2 b ON a.ptr = b.url)
+            SELECT s3.url, s3.ptr AS final_url,
+                   CASE WHEN t.url IS NULL THEN s3.hops END AS hops,
+                   t.url IS NULL AS resolved
+            FROM s3 LEFT JOIN e t ON s3.ptr = t.url
         """,
         "script_mix": """
             WITH t AS (

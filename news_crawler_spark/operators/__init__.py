@@ -46,6 +46,7 @@ from news_crawler_spark.operators.paragraphs import (
     span_dedup,
 )
 from news_crawler_spark.operators.rangejoin import interval_join_bucketed
+from news_crawler_spark.operators.redirects import resolve_redirects
 from news_crawler_spark.operators.recrawl import recrawl_intervals
 from news_crawler_spark.operators.sketches import (
     cms_counters,
@@ -112,6 +113,7 @@ __all__ = [
     "pack_sequences",
     "paragraph_dedup",
     "recrawl_intervals",
+    "resolve_redirects",
     "span_dedup",
     "global_row_number",
     "salted_agg",

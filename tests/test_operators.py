@@ -315,6 +315,35 @@ def test_bloom_contamination_no_false_negatives(spark):
         bloom_contamination(corpus, bench, m_bits=1000)
 
 
+def test_resolve_redirects_chains_cycles_and_caps(spark):
+    """Pointer doubling: a 4-hop chain resolves with exact hop counts
+    in 2 rounds (covers 4 hops); a 2-cycle reports resolved=false with
+    NULL hops; a chain longer than 2^max_rounds stays unresolved at
+    the cap and resolves once rounds suffice; duplicate src edges
+    functionalize to the min dst."""
+    from news_crawler_spark.operators import resolve_redirects
+
+    edges = ([(f"u{i}", f"u{i - 1}") for i in range(1, 5)]   # u4→…→u0
+             + [("c1", "c2"), ("c2", "c1")]                  # cycle
+             + [(f"v{i}", f"v{i - 1}") for i in range(1, 10)]  # 9 hops
+             + [("u1", "zz")])                               # dup src
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    got = {r.url: r for r in resolve_redirects(df, max_rounds=2).collect()}
+    for i in range(1, 5):
+        r = got[f"u{i}"]
+        assert (r.final_url, r.hops, r.resolved) == ("u0", i, True), i
+    assert not got["c1"].resolved and got["c1"].hops is None
+    assert not got["c2"].resolved and got["c2"].hops is None
+    # u1 had two recorded targets: min("u0", "zz") == "u0" wins
+    assert got["u1"].final_url == "u0"
+    # 9-hop chain: 2 rounds cover only 4 hops → unresolved at the cap
+    assert not got["v9"].resolved
+    got4 = {r.url: r for r in resolve_redirects(df, max_rounds=4).collect()}
+    assert (got4["v9"].final_url, got4["v9"].hops,
+            got4["v9"].resolved) == ("v0", 9, True)
+
+
 def test_url_normalize_rules(spark):
     from news_crawler_spark.functions import url_normalize
 
