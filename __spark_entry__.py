@@ -943,6 +943,27 @@ def q_script_mix(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_stratified_budget_sample(spark, sf_dir):
+    """Budgeted stratified sampling (operators/wsample.py
+    stratified_budget_sample) — the training-mixture draw: a global
+    200-row budget apportions across sources by largest remainder over
+    each source's weight mass (floor 2 — no stratum vanishes), then
+    every source draws EXACTLY its allocation by A-ES weighted
+    sampling. Weights = (n_chars % 97) + 1 (integral, quantize=1, so
+    the mass sum is plainly exact in both engines). Allocation AND
+    per-row membership replay value-exactly in SQL."""
+    from news_crawler_spark.operators.wsample import (
+        stratified_budget_sample,
+    )
+
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "source",
+                 (F.pmod(F.col("n_chars"), F.lit(97)) + 1).alias("weight")))
+    return stratified_budget_sample(
+        d, group_col="source", weight_col="weight", total_k=200,
+        id_col="doc_id", floor=2, quantize=1)
+
+
 def q_redirect_resolution(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py
     resolve_redirects): pointer doubling maps every redirecting URL to
@@ -3032,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": q_script_mix,
         "bloom_decontamination": q_bloom_decontamination,
         "redirect_resolution": q_redirect_resolution,
+        "stratified_budget_sample": q_stratified_budget_sample,
     }
 
 
@@ -4027,6 +4049,48 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'other' END AS lang_guess
               FROM documents)
             SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2
+        """,
+        "stratified_budget_sample": """
+            WITH d AS (
+              SELECT doc_id, source, (n_chars % 97) + 1 AS weight
+              FROM documents),
+            grp AS (SELECT source, CAST(sum(weight) AS BIGINT) AS mass
+                    FROM d WHERE weight > 0 GROUP BY source),
+            t AS (SELECT sum(mass) AS tot, count(*) AS n FROM grp),
+            s AS (
+              SELECT source, mass, (200 - 2 * t.n) AS rem,
+                     CAST((200 - 2 * t.n)
+                          * (CASE WHEN t.tot > 0 THEN mass ELSE 1 END)
+                          AS DOUBLE)
+                       / CAST(CASE WHEN t.tot > 0 THEN t.tot ELSE t.n END
+                              AS DOUBLE) AS ideal
+              FROM grp, t),
+            f AS (SELECT source, rem, floor(ideal) AS whole,
+                         ideal - floor(ideal) AS frac
+                  FROM s),
+            gv AS (SELECT sum(whole) AS given FROM f),
+            r AS (SELECT f.*, row_number()
+                            OVER (ORDER BY frac DESC, source) AS rk
+                  FROM f),
+            alloc AS (
+              SELECT source,
+                     CAST(2 + whole
+                          + CASE WHEN rk <= (rem - (SELECT given FROM gv))
+                                 THEN 1 ELSE 0 END AS BIGINT) AS alloc
+              FROM r),
+            k AS (
+              SELECT doc_id, source, weight,
+                     round(pow(
+                       ('0x' || substr(sha256('es|' || doc_id), 1, 15))
+                         ::BIGINT::DOUBLE / 1152921504606846976.0,
+                       1.0 / weight), 12) AS es_key
+              FROM d WHERE weight > 0),
+            rk2 AS (
+              SELECT *, row_number() OVER (PARTITION BY source
+                          ORDER BY es_key DESC, doc_id) AS rnk
+              FROM k)
+            SELECT source, doc_id, weight, es_key, rnk, alloc
+            FROM rk2 JOIN alloc USING (source) WHERE rnk <= alloc
         """,
         "redirect_resolution": """
             WITH e0 AS (

@@ -68,6 +68,10 @@ from news_crawler_spark.operators.spanops import (
     flatten_text,
     span_stats,
 )
+from news_crawler_spark.operators.wsample import (
+    stratified_budget_sample,
+    weighted_sample_k,
+)
 from news_crawler_spark.operators.topk import (
     global_row_number,
     salted_agg,
@@ -114,6 +118,8 @@ __all__ = [
     "paragraph_dedup",
     "recrawl_intervals",
     "resolve_redirects",
+    "stratified_budget_sample",
+    "weighted_sample_k",
     "span_dedup",
     "global_row_number",
     "salted_agg",
