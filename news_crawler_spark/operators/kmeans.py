@@ -43,8 +43,7 @@ def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
     farthest point, which would add one top-1 pass per iteration with
     the same plan shape.
     """
-    spark = df.sparkSession
-    centroids = (
+    centroids: list | DataFrame = (
         df.orderBy(id_col).limit(k)
         .select(
             F.col(id_col).cast("int").alias("cell"),
@@ -67,7 +66,8 @@ def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 2,
                                                     round_to))
                 .alias("cvec"))
         )
-        rows = means.collect()  # k rows — tiny by design
-        centroids = spark.createDataFrame(rows, means.schema)
+        # k rows — tiny by design; kept as a plain list so the next
+        # assignment needs no createDataFrame + collect job pair
+        centroids = [(int(r["cell"]), r["cvec"]) for r in means.collect()]
     return (ivf_assign(df, centroids, id_col, vec_col, nprobe=1)
             .select(id_col, "cell"))

@@ -48,6 +48,30 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`_dot` — the hot builders below assemble
+    whole scoring expressions as ONE string for a single F.expr parse
+    (the Column-API form cost thousands of py4j round trips of pure
+    driver latency per query; the parsed trees are identical)."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "0.0D, (acc, v) -> acc + v)")
+
+
+def _codebook_sql(book, with_code: bool) -> str:
+    """SQL literal text for one subspace's codebook array."""
+    from news_crawler_spark.operators.similarity import (
+        _sql_double,
+        _sql_double_array,
+    )
+
+    parts = []
+    for code, (cvec, cc) in enumerate(book):
+        fields = (f"'code',{code}," if with_code else "") + (
+            f"'cvec',{_sql_double_array(cvec)},'cc',{_sql_double(cc)}")
+        parts.append(f"named_struct({fields})")
+    return "array(" + ",".join(parts) + ")"
+
+
 def pq_codebooks(corpus: DataFrame, m: int = 4, ks: int = 8,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> list[list[tuple[list[float], float]]]:
@@ -89,11 +113,12 @@ def _codebooks_from_rows(rows, m: int, ks: int,
 def _stage_subs(df: DataFrame, vec_col: str, m: int, dsub: int,
                 out: str) -> DataFrame:
     """Cast to double and pre-slice the m subvectors ONCE per row,
-    behind a Generate barrier."""
-    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    subs = F.array(*[F.slice(vd, j * dsub + 1, dsub) for j in range(m)])
+    behind a Generate barrier. One SQL string, one parse."""
+    vd = f"transform(`{vec_col}`, x -> cast(x as double))"
+    subs = ",".join(
+        f"slice({vd}, {j * dsub + 1}, {dsub})" for j in range(m))
     return df.select(
-        "*", F.explode(F.array(subs)).alias(out))
+        "*", F.expr(f"explode(array(array({subs})))").alias(out))
 
 
 def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id",
@@ -108,26 +133,23 @@ def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id",
     dsub = len(codebooks[0][0][0])
     staged = _stage_subs(corpus, vec_col, m, dsub, "_subs")
 
-    def argmin_code(j: int) -> F.Column:
-        cb_lit = F.array(*[
-            F.struct(
-                F.lit(code).alias("code"),
-                F.array(*[F.lit(x) for x in cvec]).alias("cvec"),
-                F.lit(cc).alias("cc"))
-            for code, (cvec, cc) in enumerate(codebooks[j])])
-        vsub = F.element_at("_subs", j + 1)
-        scored = F.transform(cb_lit, lambda c: F.struct(
-            # ||x-c||² minus the row-constant ||x||²: cc - 2<x,c>
-            F.round(c.getField("cc") - 2 * _dot(vsub, c.getField("cvec")), 6)
-             .alias("d"),
-            c.getField("code").alias("code")))
-        # struct natural order: (rounded distance asc, code asc)
-        return F.element_at(F.array_sort(scored), 1).getField("code")
+    def argmin_code(j: int) -> str:
+        # ||x-c||² minus the row-constant ||x||²: cc - 2<x,c>;
+        # struct natural order: (rounded distance asc, code asc).
+        # The whole argmin is SQL text — codebook literals AND the
+        # transform/sort — so the entire codes array below is ONE
+        # F.expr parse instead of ks x dsub x m py4j round trips.
+        dot = _dot_sql(f"element_at(_subs, {j + 1})", "c.cvec")
+        return (
+            f"element_at(array_sort(transform({_codebook_sql(codebooks[j], True)}, "
+            f"c -> named_struct('d', round(c.cc - 2 * {dot}, 6), "
+            "'code', c.code))), 1).code")
 
+    codes = "array(" + ",".join(argmin_code(j) for j in range(m)) + ")"
     return staged.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in keep],
-        F.array(*[argmin_code(j) for j in range(m)]).alias("codes"))
+        F.expr(codes).alias("codes"))
 
 
 def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebooks,
@@ -157,20 +179,18 @@ def _adc_rank(pairs: DataFrame, codebooks, k: int) -> DataFrame:
     corpus) pair into it; IVF-PQ equi-joins on the probed cell."""
     m = len(codebooks)
 
-    def term(j: int) -> F.Column:
-        cb_lit = F.array(*[
-            F.struct(F.array(*[F.lit(x) for x in cvec]).alias("cvec"),
-                     F.lit(cc).alias("cc"))
-            for cvec, cc in codebooks[j]])
-        qsub = F.element_at("_qsubs", j + 1)
-        cw = F.element_at(cb_lit, F.element_at("codes", j + 1) + 1)
-        return F.round(
-            _dot(qsub, qsub) + cw.getField("cc")
-            - 2 * _dot(qsub, cw.getField("cvec")), 6)
+    def term(j: int) -> str:
+        qsub = f"element_at(_qsubs, {j + 1})"
+        cw = (f"element_at({_codebook_sql(codebooks[j], False)}, "
+              f"element_at(codes, {j + 1}) + 1)")
+        return (f"round({_dot_sql(qsub, qsub)} + {cw}.cc "
+                f"- 2 * {_dot_sql(qsub, cw + '.cvec')}, 6)")
 
-    adist = F.lit(0.0)
-    for j in range(m):  # explicit left-assoc chain == subspace order
-        adist = adist + term(j)
+    # explicit left-assoc chain == subspace order; the leading 0.0D
+    # matches the old F.lit(0.0) accumulator seed bit-for-bit. ONE
+    # F.expr parse for the whole ADC sum (py4j round-trip economy —
+    # see _dot_sql).
+    adist = F.expr("0.0D + " + " + ".join(term(j) for j in range(m)))
     scored = (pairs.where(F.col("query_id") != F.col("id"))
               .select("query_id", F.col("id").alias("neighbor_id"),
                       F.round(adist, 6).alias("adist")))

@@ -19,6 +19,45 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sql_double(x: float) -> str:
+    """SQL double literal that parses back to exactly this double.
+
+    ``repr`` emits the shortest decimal that round-trips for float64,
+    and Java's ``Double.parseDouble`` returns the nearest double of
+    that decimal — the same bits. The ``D`` suffix keeps the SQL
+    parser from producing a DECIMAL."""
+    return repr(float(x)) + "D"
+
+
+def _sql_double_array(xs) -> str:
+    """SQL ``array(..D, ..D)`` literal text for a vector."""
+    return "array(" + ",".join(_sql_double(x) for x in xs) + ")"
+
+
+def centroid_literal_sql(cent: list[tuple[int, list[float]]]) -> str:
+    """One SQL expression string for the centroid literal array.
+
+    Building the same array via nested ``F.lit``/``F.struct`` calls
+    costs thousands of py4j round trips (16 centroids x 64 dims was a
+    measured ~1.5-2 s of pure driver time PER ivf_assign call); one
+    ``F.expr`` hands the whole text to the JVM parser in a single
+    call. The per-centroid norm is accumulated in index order — the
+    same left-fold the engine-side dot product uses — so values are
+    bit-identical to the old form."""
+    import math
+
+    parts = []
+    for cell, cvec in cent:
+        cnorm = 0.0
+        for x in cvec:
+            cnorm += x * x
+        parts.append(
+            f"named_struct('cell',{int(cell)},"
+            f"'cvec',{_sql_double_array(cvec)},"
+            f"'cnorm',{_sql_double(math.sqrt(cnorm))})")
+    return "array(" + ",".join(parts) + ")"
+
+
 def cosine_col(a: str | F.Column, b: str | F.Column) -> F.Column:
     """Cosine similarity of two array<float/double> columns, natively:
     dot/(|a||b|) via zip_with + aggregate (left-fold in codegen)."""
@@ -120,7 +159,9 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     )
 
 
-def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
+def ivf_assign(df: DataFrame,
+               centroids: DataFrame | list[tuple[int, list[float]]],
+               id_col: str = "vec_id",
                vec_col: str = "embedding", out_col: str = "cell",
                nprobe: int = 1) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroid cells —
@@ -142,58 +183,60 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     replays it value-exactly. The row's own norm is computed once and
     staged behind a Generate barrier (explode of a 1-element array) —
     without it CollapseProject re-inlines the O(dim) fold into every
-    centroid element (the HOF-recompute trap)."""
-    import math
+    centroid element (the HOF-recompute trap).
 
+    ``centroids`` may be a DataFrame (collected here; must be tiny by
+    contract) or an already-collected list of ``(cell, vector)``
+    tuples — composed operators (ivf_topk, kmeans_fit, ivf_pq_topk)
+    pass the list so repeated assignments don't re-run a collect job
+    each."""
+    if isinstance(centroids, DataFrame):
+        cent_pairs = [(int(r[out_col]), r["cvec"]) for r in centroids.collect()]
+    else:
+        cent_pairs = [(int(c), v) for c, v in centroids]
     cent = sorted(
-        ((int(r[out_col]), [float(x) for x in r["cvec"]])
-         for r in centroids.collect()),
+        ((c, [float(x) for x in v]) for c, v in cent_pairs),
         key=lambda t: t[0],
     )
-    vec = F.col(vec_col)
     # cast the row vector to double ONCE (HOFs evaluate interpreted —
     # per-centroid re-casting costs dim x n_centroids interpreted
-    # casts per row) and stage it with the norm behind the barrier
-    vd = F.transform(vec, lambda x: x.cast("double"))
-    vnorm = F.sqrt(F.aggregate(
-        F.zip_with(vec, vec, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
+    # casts per row) and stage it with the norm behind the barrier.
+    # The whole staging expression AND the scoring expression below are
+    # each ONE SQL string handed to the JVM parser in a single F.expr
+    # call: the equivalent nested F.transform/F.zip_with/F.aggregate
+    # Column-API form cost thousands of py4j round trips of pure
+    # driver latency per ivf_assign call (profiled: ~60% of the
+    # end-to-end ivf/pq query wall time at bench scale was plan
+    # CONSTRUCTION, not execution). The parsed expression trees are
+    # identical, so plans and results are unchanged.
+    v = f"`{vec_col}`"
     staged = df.select(
         "*",
-        F.explode(F.array(F.struct(vnorm.alias("vn"), vd.alias("vd"))))
-        .alias("_vs"))
+        F.expr(
+            "explode(array(named_struct("
+            f"'vn', sqrt(aggregate(zip_with({v}, {v}, "
+            "(x, y) -> cast(x as double) * cast(y as double)), "
+            "0.0D, (acc, v) -> acc + v)), "
+            f"'vd', transform({v}, x -> cast(x as double)))))"
+        ).alias("_vs"))
 
     # centroids enter as ONE literal array of structs and the scoring
     # is ONE transform lambda — not n_centroids inlined fold
     # expressions, which blow past the JIT method-size limit and drop
     # the stage out of whole-stage codegen (measured ~2x slower); the
     # per-centroid norm is precomputed driver-side with the same
-    # left-fold order as the engine-side dot, so values are identical
-    def centroid_struct(cell: int, cvec: list[float]) -> F.Column:
-        cnorm = 0.0
-        for x in cvec:
-            cnorm += x * x
-        return F.struct(
-            F.lit(cell).alias("cell"),
-            F.array(*[F.lit(x) for x in cvec]).alias("cvec"),
-            F.lit(math.sqrt(cnorm)).alias("cnorm"))
-
-    cent_lit = F.array(*[centroid_struct(c, v) for c, v in cent])
-
-    def score(c: F.Column) -> F.Column:
-        dot = F.aggregate(
-            F.zip_with(F.col("_vs.vd"), c.getField("cvec"),
-                       lambda x, s: x * s),
-            F.lit(0.0), lambda acc, v: acc + v)
-        sim = F.round(dot / (F.col("_vs.vn") * c.getField("cnorm")), 6)
-        # struct natural ordering: ascending (-sim, cell) == the
-        # (sim DESC, cell ASC) argmax order
-        return F.struct((-sim).alias("_negsim"),
-                        c.getField("cell").alias("_cell"))
-
-    picked = F.slice(F.array_sort(F.transform(cent_lit, score)), 1, nprobe)
+    # left-fold order as the engine-side dot, so values are identical.
+    # struct natural ordering: ascending (-sim, cell) == the
+    # (sim DESC, cell ASC) argmax order.
+    picked = (
+        f"slice(array_sort(transform({centroid_literal_sql(cent)}, "
+        "c -> named_struct("
+        "'_negsim', -round(aggregate(zip_with(_vs.vd, c.cvec, "
+        "(x, s) -> x * s), 0.0D, (acc, v) -> acc + v) "
+        "/ (_vs.vn * c.cnorm), 6), "
+        f"'_cell', c.cell))), 1, {int(nprobe)})")
     return (
-        staged.select("*", F.explode(picked).alias("_pick"))
+        staged.select("*", F.expr(f"explode({picked})").alias("_pick"))
         .withColumn(out_col, F.col("_pick._cell"))
         .drop("_pick", "_vs")
     )
@@ -202,22 +245,17 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
 def literal_centroids(corpus: DataFrame, n_centroids: int,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       head_n: int | None = None):
-    """Seed centroids as a LOCAL literal table: one corpus TakeOrdered
-    (``head_n`` rows if given, else ``n_centroids``), rebuilt via
-    createDataFrame so every downstream :func:`ivf_assign` collect()
-    is a no-op local job instead of another corpus scan (the naive
-    composition ran one TakeOrdered per consumer). Returns
-    ``(head_rows, centroids_df)`` — ivf_pq_topk feeds the same head
-    rows to the PQ codebooks."""
-    from pyspark.sql import types as T
-
+    """Seed centroids from one corpus TakeOrdered (``head_n`` rows if
+    given, else ``n_centroids``). Returns ``(head_rows, centroids)``
+    where ``centroids`` is the plain ``(cell, vector)`` list
+    :func:`ivf_assign` consumes directly — no createDataFrame/collect
+    round trip per downstream assignment (each cost a scheduled local
+    job; the naive composition additionally ran one corpus
+    TakeOrdered per consumer). ivf_pq_topk feeds the same head rows
+    to the PQ codebooks."""
     head = (corpus.select(id_col, vec_col).orderBy(id_col)
             .limit(head_n or n_centroids).collect())
-    cent = corpus.sparkSession.createDataFrame(
-        [(int(r[id_col]), r[vec_col]) for r in head[:n_centroids]],
-        T.StructType([T.StructField("cell", T.IntegerType()),
-                      T.StructField("cvec",
-                                    corpus.schema[vec_col].dataType)]))
+    cent = [(int(r[id_col]), r[vec_col]) for r in head[:n_centroids]]
     return head, cent
 
 
@@ -258,12 +296,15 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
 def kmeans_refine(corpus: DataFrame, centroids: DataFrame, iters: int = 3,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Lloyd refinement of IVF centroids: assign → per-cell mean →
-    repeat. Each iteration is one broadcast-join assignment plus one
+    repeat. Each iteration is one literal-centroid assignment plus one
     groupBy mean over (cell, dim) — the centroids (tiny) come back to
-    the driver per iteration, the corpus never does."""
+    the driver per iteration as a plain list (no per-iteration
+    createDataFrame/collect job), the corpus never does."""
     spark = corpus.sparkSession
+    schema = None
+    cent: DataFrame | list = centroids
     for _ in range(iters):
-        assigned = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
+        assigned = ivf_assign(corpus, cent, id_col, vec_col, nprobe=1)
         means = (
             assigned.select("cell", F.posexplode(vec_col).alias("_d", "_x"))
             .groupBy("cell", "_d").agg(F.avg("_x").alias("_m"))
@@ -273,8 +314,11 @@ def kmeans_refine(corpus: DataFrame, centroids: DataFrame, iters: int = 3,
                                         .cast("float")).alias("cvec"))
         )
         rows = means.collect()  # n_centroids rows — tiny by design
-        centroids = spark.createDataFrame(rows, means.schema)
-    return centroids
+        schema = means.schema
+        cent = [(int(r["cell"]), r["cvec"]) for r in rows]
+    if isinstance(cent, DataFrame):  # iters == 0
+        return cent
+    return spark.createDataFrame([(c, v) for c, v in cent], schema)
 
 
 def rademacher_signs(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -297,11 +341,24 @@ def rademacher_bucket_col(vec_col: str | F.Column, dim: int, n_planes: int,
     """Native sign-LSH bucket id: bit p = (vec · signs_p > 0). The dot
     product is a zip_with/aggregate left fold in codegen — bit-exact
     reproducible by any engine folding left in the same order."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     planes = rademacher_signs(dim, n_planes, seed)
+    if isinstance(vec_col, str):
+        # hot path: the whole bucket id is ONE SQL string / one parse
+        # (plane literals AND the per-plane sign tests) — the Column-
+        # API loop cost n_planes x dim py4j round trips per call
+        terms = []
+        for p, signs in enumerate(planes):
+            dotp = (f"aggregate(zip_with(`{vec_col}`, "
+                    f"{_sql_double_array(signs)}, "
+                    "(x, s) -> cast(x as double) * s), "
+                    "0.0D, (acc, v) -> acc + v)")
+            terms.append(
+                f"(case when {dotp} > 0 then {1 << p} else 0 end)")
+        return F.expr("0 + " + " + ".join(terms))
+    vec = vec_col
     bucket = F.lit(0)
     for p, signs in enumerate(planes):
-        sarr = F.array(*[F.lit(s) for s in signs])
+        sarr = F.expr(_sql_double_array(signs))
         dotp = F.aggregate(
             F.zip_with(vec, sarr, lambda x, s: x.cast("double") * s),
             F.lit(0.0), lambda acc, v: acc + v,
