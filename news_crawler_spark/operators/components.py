@@ -58,9 +58,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient (big→small); connect u and its smaller neighbors to the min."""
-    e = _canon(edges)  # src > dst
+def _small_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
+    """Orient (big→small); connect u and its smaller neighbors to the min.
+
+    ``canonical=True`` skips the input re-canonicalization (one
+    dedup aggregation pass) when the caller guarantees ``edges`` is
+    already in (src > dst, distinct) form — true for every
+    ``_large_star`` output."""
+    e = edges if canonical else _canon(edges)  # src > dst
     m = e.groupBy("src").agg(F.min("dst").alias("_mn"))
     with_min = e.join(m, "src")
     to_nbrs = with_min.select(F.col("dst").alias("src"), F.col("_mn").alias("dst"))
@@ -85,14 +90,32 @@ def connected_components(edges: DataFrame, src: str = "src",
     Alternates large-star/small-star until the edge set is stable; at
     convergence the edge set is a star forest (u → component min).
     """
-    cur = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
-    cur = cur.localCheckpoint(eager=True)
-    digest = _edge_digest(cur)
+    from pyspark.sql import Observation
+
+    def _ckpt_with_digest(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        """Eager localCheckpoint whose materialization job ALSO
+        collects the convergence digest as an Observation — the
+        separate _edge_digest action per round was one extra job of
+        pure scheduling latency (the digest itself is O(1) rows)."""
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0))
+            .alias("h"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return out, (int(m["n"]), int(m["h"]))
+
+    cur, digest = _ckpt_with_digest(
+        _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))))
     converged = False
     for _ in range(max_iter):
-        # eager localCheckpoint every round — see module docstring
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        nxt_digest = _edge_digest(nxt)
+        # eager localCheckpoint every round — see module docstring;
+        # _large_star output is canonical, so the small-star pass
+        # skips its re-canonicalization aggregation
+        nxt, nxt_digest = _ckpt_with_digest(
+            _small_star(_large_star(cur), canonical=True))
         cur = nxt
         if nxt_digest == digest:
             converged = True
