@@ -67,6 +67,8 @@ def hashed_classifier_scores(
     projection avoids a Generate + groupBy + join-back that would cost
     two exchanges just to share the split.
     """
+    from news_crawler_spark.operators.par import spread_scan
+
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda x: x != "",
@@ -84,6 +86,9 @@ def hashed_classifier_scores(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-(mean + F.lit(float(bias))))), 6
         ),
     )
+    # the sha256 fold below is pure per-row work with no exchange at
+    # all — widen a narrow scan so it parallelizes (no-op at scale)
+    documents = spread_scan(documents)
     return documents.select(
         F.col(id_col).alias("doc_id"),
         n.cast("long").alias("n_tokens"),
@@ -130,7 +135,14 @@ def dsir_logratio(
     materializing the exploded gram table, and the scan is
     column-pruned to (id, text).
     """
+    from news_crawler_spark.operators.par import spread_scan
+
     def gram_buckets(df: DataFrame) -> DataFrame:
+        # per-doc gram rows stay contiguous (explode of a row-wise
+        # repartitioned table), so counts and the per-doc mean are
+        # partition-invariant; widening the narrow scan parallelizes
+        # the sha256 gram hashing (no-op at scale)
+        df = spread_scan(df)
         toks = F.filter(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
             lambda x: x != "",
@@ -157,29 +169,40 @@ def dsir_logratio(
         )
 
     raw = gram_buckets(documents)
-    rawc = raw.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgtc = gram_buckets(target).groupBy("bucket").agg(
-        F.count("*").alias("ct"))
-    totals = (
-        rawc.agg(F.coalesce(F.sum("cr"), F.lit(0))
-                 .cast("double").alias("n_raw"))
-        .crossJoin(tgtc.agg(F.coalesce(F.sum("ct"), F.lit(0))
-                            .cast("double").alias("n_tgt")))
-    )
+    # the two bucket-count tables are <= n_buckets rows by construction
+    # — they come to the driver (the same tiny-side/heavy-side split
+    # ivf_assign uses for centroids) and the per-bucket counts re-enter
+    # the scoring pass as INTEGER literal arrays. This removes the
+    # totals aggregation crossJoins and the broadcast ratio join (plus
+    # its broadcast-build job) from the plan: scoring is now a single
+    # Project/Generate pass over the corpus grams ending in the per-doc
+    # fold. Counts are exact integers and the log-ratio still evaluates
+    # in the JVM expression engine from those exact counts, so every
+    # lr double — and the rounded per-doc mean — is bit-identical to
+    # the joined form.
+    cr = {int(r["bucket"]): int(r["cr"])
+          for r in raw.groupBy("bucket").agg(
+              F.count("*").alias("cr")).collect()}
+    ct = {int(r["bucket"]): int(r["ct"])
+          for r in gram_buckets(target).groupBy("bucket").agg(
+              F.count("*").alias("ct")).collect()}
+    n_raw = float(sum(cr.values()))
+    n_tgt = float(sum(ct.values()))
     b = float(n_buckets)
-    ratio = (
-        rawc.join(tgtc, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                   / (F.col("n_tgt") + F.lit(b)))
-             - F.log((F.col("cr") + 1) / (F.col("n_raw") + F.lit(b))))
-            .alias("lr"),
-        )
-    )
+    cr_arr = "array(" + ",".join(
+        str(cr.get(i, 0)) for i in range(n_buckets)) + ")"
+    ct_arr = "array(" + ",".join(
+        str(ct.get(i, 0)) for i in range(n_buckets)) + ")"
+    # element_at is 1-based; every scored gram's bucket has cr >= 1 by
+    # construction (it was counted from this same gram table), matching
+    # the old inner join's domain
+    lr = F.expr(
+        f"log((element_at({ct_arr}, cast(bucket as int) + 1) + 1) / "
+        f"{repr(n_tgt + b)}D) - "
+        f"log((element_at({cr_arr}, cast(bucket as int) + 1) + 1) / "
+        f"{repr(n_raw + b)}D)")
     return (
-        raw.join(F.broadcast(ratio), "bucket")
+        raw.select(id_col, lr.alias("lr"))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_feats"),

@@ -91,6 +91,14 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int,
     A doc shorter than ``n`` tokens contributes its whole text as one
     shingle (same contract as before).
     """
+    from news_crawler_spark.operators.par import spread_scan
+
+    # the tokenize→shingle→hash work below happens before any
+    # exchange; widen a narrow (small-file) scan first so it
+    # parallelizes — no-op at real input sizes, and every downstream
+    # aggregate here is exact-integer / per-doc, so results are
+    # partition-invariant
+    df = spread_scan(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     if n == 1:
         out = df.select(F.col(id_col), F.explode(toks).alias("shingle"))
@@ -306,9 +314,13 @@ def simhash_band_values(df: DataFrame, text_col: str = "text",
     Replaces a per-token Python loop (blake2b per token inside a
     pandas_udf) that dominated at corpus scale.
     """
+    from news_crawler_spark.operators.par import spread_scan
+
     n_bands = SIMHASH_BITS // band_bits
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    # widen narrow scans before the serial tokenize+hash+partial-agg
+    # chain (no-op at real scale; the bit-sum aggregates are integers)
+    tok = spread_scan(df).select(F.col(id_col), F.explode(toks).alias("_tok"))
     if hash_fn == "xxhash64":
         # production fast path: two 32-bit halves of one xxhash64
         full = F.xxhash64("_tok")
@@ -325,22 +337,28 @@ def simhash_band_values(df: DataFrame, text_col: str = "text",
             F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("_hl"),
             F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("_hh"),
         )
-    votes = hashed.groupBy(id_col).agg(*[
-        F.sum(
-            F.when(
+    # vote sum for bit b over n tokens is 2*popcount_b - n exactly
+    # (integers), so aggregate the raw bit sums plus one count instead
+    # of 64 CASE WHEN ±1 votes — the per-row aggregate update drops a
+    # conditional per bit, and the band test becomes 2*s_b > n. Values
+    # are integer-identical to the ±1 formulation.
+    votes = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
                 F.shiftright(F.col("_hl" if b < 32 else "_hh"), b % 32)
-                .bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"_v{b}")
-        for b in range(SIMHASH_BITS)
-    ])
+                .bitwiseAND(F.lit(1))
+            ).alias(f"_s{b}")
+            for b in range(SIMHASH_BITS)
+        ])
 
     def band_val(k: int) -> F.Column:
-        out = F.lit(0)
-        for j in range(band_bits):
-            out = out + F.when(F.col(f"_v{k * band_bits + j}") > 0,
-                               F.lit(1 << j)).otherwise(0)
-        return out
+        # one SQL parse per band (py4j economy); bit j set iff the
+        # bit-j vote sum is positive: 2*s > n
+        return F.expr(" + ".join(
+            f"(case when 2 * _s{k * band_bits + j} > _n "
+            f"then {1 << j} else 0 end)"
+            for j in range(band_bits)))
 
     return votes.select(
         F.col(id_col),
@@ -385,8 +403,11 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     sha256-substring-derived so the DuckDB oracle replays them
     value-exactly.
     """
+    from news_crawler_spark.operators.par import spread_scan
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
+    tok = spread_scan(df).select(
+        F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
     wl = Window.partitionBy(id_col).orderBy("_pos")
     parts = [F.col("_tok")] + [F.lead("_tok", i).over(wl) for i in range(1, k)]
     grams = (

@@ -129,9 +129,14 @@ def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id",
     ``keep`` names extra input columns to carry through (e.g. the IVF
     ``cell`` — ivf_pq_topk ships (id, cell, codes) into the probe
     join, nothing else)."""
+    from news_crawler_spark.operators.par import spread_scan
+
     m, ks = len(codebooks), len(codebooks[0])
     dsub = len(codebooks[0][0][0])
-    staged = _stage_subs(corpus, vec_col, m, dsub, "_subs")
+    # encode is pure Project/Generate — widen a narrow scan so the
+    # per-row argmin work parallelizes (no-op at real input sizes, and
+    # already-spread inputs like ivf_pq's assigned corpus pass through)
+    staged = _stage_subs(spread_scan(corpus), vec_col, m, dsub, "_subs")
 
     def argmin_code(j: int) -> str:
         # ||x-c||² minus the row-constant ||x||²: cc - 2<x,c>;

@@ -82,8 +82,13 @@ def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame, k: int,
     Queries are broadcast (small side); the corpus streams through
     without a shuffle; per-query ranking is a window over k·|q| rows.
     """
+    from news_crawler_spark.operators.par import spread_scan
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # the corpus side carries the whole O(|q| x dim) scoring load with
+    # no exchange before the rank window — widen a narrow scan
+    c = spread_scan(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -132,6 +137,9 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     re-derives every bucket, so multi-table ANN is value-checkable,
     not rows-only. Queries broadcast into each table's bucket join —
     the corpus side never shuffles before the candidate rerank."""
+    from news_crawler_spark.operators.par import spread_scan
+
+    corpus = spread_scan(corpus)  # per-row bucket hashing, no exchange
     parts = []
     for t in range(n_tables):
         bucket = rademacher_bucket_col(vec_col, dim, n_planes,
@@ -198,6 +206,12 @@ def ivf_assign(df: DataFrame,
         ((c, [float(x) for x in v]) for c, v in cent_pairs),
         key=lambda t: t[0],
     )
+    # widen a narrow (small-file) scan before the per-row scoring
+    # pass — assignment is pure Project/Generate, so with one scan
+    # partition it would run single-threaded; no-op at real scale
+    from news_crawler_spark.operators.par import spread_scan
+
+    df = spread_scan(df)
     # cast the row vector to double ONCE (HOFs evaluate interpreted —
     # per-centroid re-casting costs dim x n_centroids interpreted
     # casts per row) and stage it with the norm behind the barrier.
@@ -380,7 +394,9 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     pair collides with prob (1 - θ/π)^n. For guaranteed-recall sweeps
     run multiple seeds and union (multi-table LSH, see lsh_ann_topk).
     """
-    keyed = df.select(
+    from news_crawler_spark.operators.par import spread_scan
+
+    keyed = spread_scan(df).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         rademacher_bucket_col(vec_col, dim, n_planes, seed).alias("bucket"),
     )
