@@ -27,28 +27,39 @@ def repetition_profile(df: DataFrame, text_col: str = "text",
     Rae et al. 2021; RefinedWeb, Penedo et al. 2023). High repetition
     ⇒ boilerplate / keyword stuffing / generation loops.
 
-    One Generate (posexplode) + one groupBy: the n-grams come from
-    lead() over token position, so the tokenizer runs once per doc —
-    not once per gram (the HOF-lambda recompute trap); the multi-
-    distinct aggregate is one shuffle with map-side expand.
+    Entirely ROW-LOCAL: every statistic is a function of one doc's
+    token array (sizes and distinct-sizes), so the whole profile is a
+    single projection — ZERO exchanges at any scale. This replaced an
+    explode + window-lead + multi-distinct groupBy that shuffled every
+    token row twice; counts are exact integers either way, so results
+    are identical. The token array materializes once behind a Generate
+    barrier (HOF-recompute trap, see dedup._shingle_rows) and the
+    n-gram array is a zip_with chain over shifted slices.
     """
+    from news_crawler_spark.operators.par import spread_scan
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w)
-                               for i in range(1, gram_n)]
-    last = F.lead("_tok", gram_n - 1).over(w)
-    grams = tok.select(
-        F.col(id_col), F.col("_tok"),
-        F.when(last.isNotNull(), F.concat_ws(" ", *parts)).alias("_g"),
-    )
-    agg = grams.groupBy(id_col).agg(
-        F.count("*").alias("n_words"),
-        F.countDistinct("_tok").alias("uniq_words"),
-        F.count("_g").alias("n_grams"),          # count() skips nulls
-        F.countDistinct("_g").alias("uniq_grams"),
-    )
-    return agg.select(
+    staged = spread_scan(df).select(
+        F.col(id_col),
+        F.explode(F.array(F.struct(toks.alias("t")))).alias("_tk"))
+    # NULL text produced no rows in the explode form — keep that
+    staged = staged.filter(F.col("_tk").getField("t").isNotNull())
+    n_sh = f"(size(_tk.t) - {gram_n - 1})"
+    chain = f"slice(_tk.t, 1, {n_sh})"
+    for i in range(2, gram_n + 1):
+        chain = (f"zip_with({chain}, slice(_tk.t, {i}, {n_sh}), "
+                 "(a, b) -> concat(a, ' ', b))")
+    return staged.select(
+        F.col(id_col),
+        F.expr("cast(size(_tk.t) as bigint)").alias("n_words"),
+        F.expr("cast(size(array_distinct(_tk.t)) as bigint)")
+        .alias("uniq_words"),
+        F.expr(f"cast(greatest({n_sh}, 0) as bigint)").alias("n_grams"),
+        F.expr(
+            f"case when {n_sh} > 0 "
+            f"then cast(size(array_distinct({chain})) as bigint) "
+            "else cast(0 as bigint) end").alias("uniq_grams"),
+    ).select(
         F.col(id_col), "n_words", "uniq_words",
         F.round(F.lit(1) - F.col("uniq_words") / F.col("n_words"), 6)
         .alias("rep_word_frac"),
@@ -221,12 +232,27 @@ def lm_cross_entropy(df: DataFrame, text_col: str = "text",
     form."""
     from news_crawler_spark.operators.topk import salted_join_hot
 
+    from news_crawler_spark.operators.par import spread_scan
+
+    df = spread_scan(df)  # serial tokenize/explode guard; counts exact
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok = df.select(F.col(id_col), F.posexplode(toks).alias("_pos", "w1"))
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    bg = (tok.withColumn("w2", F.lead("w1").over(w))
-          .filter(F.col("w2").isNotNull())
-          .select(id_col, "w1", "w2"))
+    tok = df.select(F.col(id_col), F.explode(toks).alias("w1"))
+    # bigrams as a zip_with of the token array with its own tail —
+    # same (id, w1, w2) multiset as the old lead()-window form without
+    # shuffling and sorting every token row first
+    staged = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.struct(toks.alias("t")))).alias("_tk"))
+    bg = (staged.filter(F.col("_tk").getField("t").isNotNull())
+          .select(
+              F.col(id_col),
+              F.expr(
+                  "explode(zip_with("
+                  "slice(_tk.t, 1, greatest(size(_tk.t) - 1, 0)), "
+                  "slice(_tk.t, 2, greatest(size(_tk.t) - 1, 0)), "
+                  "(a, b) -> named_struct('w1', a, 'w2', b)))").alias("_bg"))
+          .select(id_col, F.col("_bg.w1").alias("w1"),
+                  F.col("_bg.w2").alias("w2")))
     uni = tok.groupBy("w1").agg(F.count("*").alias("_cu"))
     big = bg.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
     vocab = tok.agg(F.countDistinct("w1").alias("_v"))
@@ -365,7 +391,9 @@ def bm25_scores(df: DataFrame, text_col: str = "text",
     (the DuckDB oracle included) replays the ranking deterministically.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    from news_crawler_spark.operators.par import spread_scan
+
+    tok = spread_scan(df).select(F.col(id_col), F.explode(toks).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -79,7 +79,9 @@ def duplicate_ngram_spans(
         1,
     )
 
-    occ = documents.select(
+    from news_crawler_spark.operators.par import spread_scan
+
+    occ = spread_scan(documents).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(grams).alias("pos", "gram"),
     ).select(

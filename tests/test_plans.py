@@ -172,14 +172,18 @@ def test_bm25_plan_partial_aggs_and_broadcast_constants(spark):
 
 def test_repetition_profile_single_generate(spark):
     """The repetition profile must tokenize ONCE per doc (one Generate
-    from posexplode; grams via lead over position) — an inline
-    HOF-transform form would re-split the text per gram."""
+    staging the token array behind a barrier) and stay fully
+    ROW-LOCAL: every statistic is an array size over that staged
+    array, so the plan must contain NO aggregate and NO exchange
+    beyond the optional small-input spread repartition — the r6
+    rewrite of the old explode + multi-distinct groupBy form."""
     from news_crawler_spark.operators import repetition_profile
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(repetition_profile(docs), "simple")
     assert plan.count("Generate") == 1
-    assert "Expand" in plan or "HashAggregate" in plan  # multi-distinct agg
+    assert "HashAggregate" not in plan and "Expand" not in plan
+    assert "hashpartitioning" not in plan  # only round-robin spread
 
 
 def test_sequence_packing_no_global_window(spark):
@@ -210,7 +214,11 @@ def test_ivf_assignment_no_shuffle_no_join(spark):
     cent = (emb.orderBy("vec_id").limit(8)
             .selectExpr("cast(vec_id as int) as cell", "embedding as cvec"))
     plan = plan_of(ivf_assign(emb, cent))
-    assert "Exchange" not in plan
+    # the only Exchange permitted is the small-input spread_scan
+    # round-robin (widens a one-row-group scan; no-op at real scale) —
+    # never a hash/single-partition shuffle of the corpus
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
 
@@ -342,6 +350,9 @@ def test_kmeans_assignment_subplan_is_shuffle_free(spark):
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = plan_of(kmeans_fit(emb, k=4, iters=1))
-    assert "Exchange" not in plan
+    # only the small-input spread_scan round-robin may appear — never
+    # a hash/single-partition shuffle, join, or window of the corpus
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
