@@ -109,18 +109,35 @@ def connected_components(edges: DataFrame, src: str = "src",
 
     cur, digest = _ckpt_with_digest(
         _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))))
+    # DATA-ADAPTIVE codegen gate: each star round is a separate action,
+    # so whole-stage codegen recompiles ~6 tiny stages per round — on
+    # small graphs (bench/test scale) Janino compile time dominates the
+    # actual work (measured ~25-50% of CC wall time at 5k edges). The
+    # edge count is already known from the digest: below the threshold
+    # run the loop interpreted (identical semantics, integer-only
+    # expressions), above it keep codegen — at 10^9+ edges compiled
+    # stages win by far. Restored in finally either way.
+    spark = edges.sparkSession
+    small_graph = digest[0] < 1_000_000
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     converged = False
-    for _ in range(max_iter):
-        # eager localCheckpoint every round — see module docstring;
-        # _large_star output is canonical, so the small-star pass
-        # skips its re-canonicalization aggregation
-        nxt, nxt_digest = _ckpt_with_digest(
-            _small_star(_large_star(cur), canonical=True))
-        cur = nxt
-        if nxt_digest == digest:
-            converged = True
-            break
-        digest = nxt_digest
+    try:
+        if small_graph:
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        for _ in range(max_iter):
+            # eager localCheckpoint every round — see module docstring;
+            # _large_star output is canonical, so the small-star pass
+            # skips its re-canonicalization aggregation
+            nxt, nxt_digest = _ckpt_with_digest(
+                _small_star(_large_star(cur), canonical=True))
+            cur = nxt
+            if nxt_digest == digest:
+                converged = True
+                break
+            digest = nxt_digest
+    finally:
+        if small_graph:
+            spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
     if not converged:
         # an unconverged edge set is NOT a star forest: a node can
         # appear both as a root and as a member with different labels,

@@ -43,9 +43,7 @@ def paragraph_rows(df: DataFrame, text_col: str = "text",
     batch operator (:func:`paragraph_dedup`) and the persisted
     cross-batch state (ingest.ParagraphState) so both dedup the exact
     same paragraph structure."""
-    from news_crawler_spark.operators.par import spread_scan
-
-    return spread_scan(df).select(
+    return df.select(
         F.col(id_col),
         F.posexplode(
             F.filter(
@@ -122,10 +120,7 @@ def span_dedup(documents: DataFrame, id_col: str = "doc_id",
     equi-join back (hot keys = sitewide boilerplate spans; AQE
     skew-split covers them), one per-doc fold.
     """
-    from news_crawler_spark.operators.par import spread_scan
-
-    sp = spread_scan(documents).select(
-        F.col(id_col), F.explode(spans_col).alias("s"))
+    sp = documents.select(F.col(id_col), F.explode(spans_col).alias("s"))
     key = F.when(
         F.col("s.kind") == "media",
         F.concat(F.lit("m:"), F.col("s.media_ref")),

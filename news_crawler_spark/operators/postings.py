@@ -31,9 +31,7 @@ def build_postings(docs: DataFrame, doc_col: str = "doc_id",
     the layout a positional index serializes. ``min_df`` prunes
     hapax terms (at corpus scale most of the vocabulary — the classic
     index-size lever)."""
-    from news_crawler_spark.operators.par import spread_scan
-
-    toks = spread_scan(docs).select(
+    toks = docs.select(
         F.col(doc_col).alias("doc"),
         F.posexplode(
             F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)

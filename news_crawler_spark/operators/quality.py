@@ -232,9 +232,6 @@ def lm_cross_entropy(df: DataFrame, text_col: str = "text",
     form."""
     from news_crawler_spark.operators.topk import salted_join_hot
 
-    from news_crawler_spark.operators.par import spread_scan
-
-    df = spread_scan(df)  # serial tokenize/explode guard; counts exact
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok = df.select(F.col(id_col), F.explode(toks).alias("w1"))
     # bigrams as a zip_with of the token array with its own tail —
@@ -391,9 +388,7 @@ def bm25_scores(df: DataFrame, text_col: str = "text",
     (the DuckDB oracle included) replays the ranking deterministically.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    from news_crawler_spark.operators.par import spread_scan
-
-    tok = spread_scan(df).select(F.col(id_col), F.explode(toks).alias("term"))
+    tok = df.select(F.col(id_col), F.explode(toks).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
