@@ -50,7 +50,12 @@ from news_crawler_spark.crawl.bloom import (
     build_shard_blobs,
     split_by_bloom,
 )
-from news_crawler_spark.crawl.fetch import Fetcher, extract_links, fetch_round
+from news_crawler_spark.crawl.fetch import (
+    Fetcher,
+    enrich_candidates,
+    extract_links,
+    fetch_round,
+)
 from news_crawler_spark.tables import SnapshotTable
 
 RETRYABLE = (503, -1)  # reference retry.py triggers; informational only —
@@ -427,11 +432,17 @@ class CrawlEngine:
         n_err = scheduled - n_ok
 
         # first-wins (D2): candidates never re-enter the frontier —
-        # every previously discovered URL already has a frontier row
+        # every previously discovered URL already has a frontier row.
+        # The anti-join keys on the exact URL (same dedup semantics as
+        # the former sha key, minus the hash); sha256/xxhash64/host
+        # regexes run on the SURVIVORS only — in steady state nearly
+        # every link is already known, so this skips hashing millions
+        # of candidate strings per round (enrich_candidates contract).
         ok_rows = staged.filter(F.col("disposition") == "ok")
         candidates = (
-            extract_links(ok_rows)
-            .join(self.frontier.read().select("url_sha"), "url_sha", "left_anti")
+            enrich_candidates(
+                extract_links(ok_rows)
+                .join(self.frontier.read().select("url"), "url", "left_anti"))
             .select(
                 "url", "url_hash", "url_sha", "host", "path",
                 url_priority_col(self.seed).alias("priority"),

@@ -176,6 +176,13 @@ def extract_links(fetched: DataFrame) -> DataFrame:
         .when(ref.startswith("/"), F.concat(page_origin, ref))
         .otherwise(F.lit(None))
     )
+    # dedup on the exact URL — identical semantics to the former
+    # url_sha key (sha256 of the url) but WITHOUT hashing every
+    # extracted link: in the mid-crawl steady state almost every link
+    # is already discovered and gets dropped by the engine's first-wins
+    # anti-join, so the expensive per-candidate derivations (sha256,
+    # xxhash64, host/path regex) are deferred to enrich_candidates()
+    # over the anti-join SURVIVORS only.
     return (
         fetched.filter(F.col("status") == 200)
         .select("url", F.explode("spans").alias("s"))
@@ -183,15 +190,23 @@ def extract_links(fetched: DataFrame) -> DataFrame:
         .select(resolved.alias("cand_url"))
         .filter(F.col("cand_url").isNotNull())
         .filter(~F.col("cand_url").contains(EXCLUDED_HOST))
-        .select(
-            F.col("cand_url").alias("url"),
-            F.xxhash64("cand_url").alias("url_hash"),
-            F.sha2(F.col("cand_url"), 256).alias("url_sha"),
-            F.regexp_extract("cand_url", r"^https?://([^/]+)", 1).alias("host"),
-            F.coalesce(
-                F.nullif(F.regexp_extract("cand_url", r"^https?://[^/]+(/.*)$", 1), F.lit("")),
-                F.lit("/"),
-            ).alias("path"),
-        )
-        .dropDuplicates(["url_sha"])
+        .select(F.col("cand_url").alias("url"))
+        .dropDuplicates(["url"])
+    )
+
+
+def enrich_candidates(cands: DataFrame) -> DataFrame:
+    """Derive url_hash/url_sha/host/path for candidate URLs — applied
+    AFTER the first-wins anti-join so only genuinely new URLs pay the
+    sha256/regex cost (extract_links contract above)."""
+    return cands.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.sha2(F.col("url"), 256).alias("url_sha"),
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1),
+                     F.lit("")),
+            F.lit("/"),
+        ).alias("path"),
     )
