@@ -239,6 +239,13 @@ class DedupState:
                     .select("doc_id", "verdict", "matched_id"))
 
         id_c, txt = self.id_col, self.text_col
+        # widen a narrow (small-file) batch scan once for the whole
+        # ingest: the sha256 fingerprint and the shingle/minhash chain
+        # below are compute-before-exchange work (no-op at real batch
+        # sizes; all downstream aggregates are exact-integer/min)
+        from news_crawler_spark.operators.par import spread_scan
+
+        batch = spread_scan(batch)
         # eager localCheckpoint: batch_fp feeds the exact join AND the
         # merge_insert, new_bands (below) feeds the near join AND the
         # bands append — without pinning, each second consumer re-runs
@@ -274,6 +281,9 @@ class DedupState:
                               "band_id", "band_hash"),
                       ["band_id", "band_hash"])
                 .groupBy("doc_id").agg(F.min("_nfid").alias("_nfid")))
+        from pyspark.sql import Observation
+
+        obs = Observation()
         verdict_rows = (
             exact.join(near, "doc_id", "left")
             .select(
@@ -284,30 +294,57 @@ class DedupState:
                 .otherwise("new").alias("verdict"),
                 F.coalesce("_efid", "_nfid").alias("matched_id"),
             )
+            # lineage counts ride the pinning checkpoint job as an
+            # Observation — the separate groupBy('verdict') count
+            # action was one extra job per batch
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("verdict") == "exact_dup", 1))
+                .alias("n_exact"),
+                F.count(F.when(F.col("verdict") == "near_dup", 1))
+                .alias("n_near"),
+            )
             # pin: the commit below appends these rows AND derives the
             # lineage counts from them; localCheckpoint guarantees both
             # see one evaluation (and frees via ContextCleaner, no
             # CacheManager pin)
             .localCheckpoint(eager=True)
         )
-        counts = {r["verdict"]: r["n"] for r in
-                  verdict_rows.groupBy("verdict")
-                  .agg(F.count("*").alias("n")).collect()}
-        n_docs = sum(counts.values())
+        m = obs.get
+        n_docs = int(m["n"])
+        counts = {"exact_dup": int(m["n_exact"]),
+                  "near_dup": int(m["n_near"])}
+        counts["new"] = n_docs - counts["exact_dup"] - counts["near_dup"]
 
         # -- commit: data tables first, lineage row last (atomicity) --
-        self.verdicts.append(verdict_rows)
+        # the three appends hit independent tables and read only
+        # checkpointed inputs (plus each table's own immutable current
+        # snapshot), so they overlap as concurrent jobs — same pattern
+        # as the crawl engine's state_appends; the lineage row below
+        # remains the single commit marker
+        from concurrent.futures import ThreadPoolExecutor
+
         # first batch to carry a fingerprint wins; within the batch the
         # smallest doc_id is the witness (deterministic)
         # NULL fps stay out of state: a NULL key never anti-joins, so
         # every batch would append another (NULL, doc_id) row forever —
         # breaking compact()'s one-row-per-fp invariant
-        self.fingerprints.merge_insert(
-            batch_fp.filter(F.col("fp").isNotNull())
-            .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-            .select("fp", "doc_id"),
-            "fp")
-        self.bands.append(new_bands.select("doc_id", "band_id", "band_hash"))
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(self.verdicts.append, verdict_rows),
+                pool.submit(
+                    self.fingerprints.merge_insert,
+                    batch_fp.filter(F.col("fp").isNotNull())
+                    .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+                    .select("fp", "doc_id"),
+                    "fp"),
+                pool.submit(self.bands.append,
+                            new_bands.select("doc_id", "band_id",
+                                             "band_hash")),
+            ]
+            for f in futs:
+                f.result()
         seq = self._next_seq()
         # driver-side 1-row commit marker — no Spark job (see
         # SnapshotTable.append_rows)
