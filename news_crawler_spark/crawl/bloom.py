@@ -175,21 +175,18 @@ def probe_negative_mask(snap: dict, keys: np.ndarray) -> np.ndarray:
 def split_by_bloom(pending0: DataFrame, snap_broadcast) -> DataFrame:
     """Adds a ``bloom_neg`` column: True → definitely unresolved.
 
-    ``pending0`` needs url_hash + attempt. Arrow-batched numpy probe,
-    no per-row Python.
+    ``pending0`` needs url_hash + attempt. The probe is a vectorized
+    pandas UDF over the 8-byte slot key ONLY — the previous
+    mapInPandas form shipped every frontier column through the
+    JVM→Python→JVM Arrow round trip (~30x the bytes; measured as the
+    round-rate collapse the moment the bloom path activated
+    mid-crawl). The wide row never leaves the JVM now (guide §4.1:
+    pass only the columns the function needs).
     """
-    from pyspark.sql import types as T
 
-    with_key = pending0.withColumn("_slot", slot_hash_col())
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @F.pandas_udf("boolean")
+    def _probe(slots: pd.Series) -> pd.Series:
         snap = snap_broadcast.value
-        for pdf in batches:
-            neg = probe_negative_mask(snap, pdf["_slot"].to_numpy())
-            yield pdf.assign(bloom_neg=neg)
+        return pd.Series(probe_negative_mask(snap, slots.to_numpy()))
 
-    out_schema = T.StructType(
-        list(with_key.schema.fields)
-        + [T.StructField("bloom_neg", T.BooleanType(), False)]
-    )
-    return with_key.mapInPandas(run, schema=out_schema).drop("_slot")
+    return pending0.withColumn("bloom_neg", _probe(slot_hash_col()))

@@ -290,7 +290,18 @@ class CrawlEngine:
     # -- pending: the scale-critical anti-join, bloom-prefiltered ---------
     def _pending(self, round_no: int) -> DataFrame:
         pend0 = self.frontier.read().filter(F.col("not_before") <= F.lit(round_no))
-        if self.bloom is None or self._resolved_n < self.bloom_min_resolved:
+        # the probe pays off only while it can actually prune: its
+        # benefit is the join-input rows it removes (the definite
+        # negatives ≈ the unresolved fraction of the frontier), its
+        # cost is probing every pending row. Once most frontier rows
+        # are resolved (compaction fires at compact_ratio, default
+        # 80%) the positives go through the exact anti-join anyway, so
+        # below ~30% prunable rows the probe is pure overhead — skip
+        # it and anti-join directly. Counters are exact per-round
+        # deltas; no extra jobs.
+        frac_resolved = self._resolved_in_frontier / max(1, self._frontier_rows)
+        if (self.bloom is None or self._resolved_n < self.bloom_min_resolved
+                or frac_resolved > 0.7):
             return pend0.join(self.resolved.read().select("url_sha", "attempt"),
                               ["url_sha", "attempt"], "left_anti")
         if self._bloom_bc is None:
