@@ -47,11 +47,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     if not 1 <= damping_pct <= 99:
         raise ValueError(f"damping_pct in [1, 99], got {damping_pct}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # loop-invariant tables pinned ONCE (eager localCheckpoint —
+    # released by the ContextCleaner): e/nodes/outdeg are referenced
+    # by every iteration of the unrolled plan, and without the pin
+    # each reference re-executes the scan + distinct/agg subtree
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).localCheckpoint(eager=True)
     nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node"))).distinct())
-    outdeg = e.groupBy("src").agg(F.count("*").alias("n_out"))
-    n = nodes.count()  # one scalar job; the loop itself is driver-side
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    outdeg = (e.groupBy("src").agg(F.count("*").alias("n_out"))
+              .localCheckpoint(eager=True))
+    n = nodes.count()  # cheap: counts the pinned RDD
     if n == 0:  # empty graph: empty ranks, not a ZeroDivisionError
         return nodes.withColumn("rank_micro", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * scale) // (100 * n)

@@ -34,8 +34,11 @@ def trustrank(edges: DataFrame, seeds: DataFrame, src: str = "src",
     """
     if not 1 <= damping_pct <= 99:
         raise ValueError(f"damping_pct in [1, 99], got {damping_pct}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    seed_set = seeds.select(F.col("node")).distinct()
+    # loop invariants pinned once — see linkrank.pagerank
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).localCheckpoint(eager=True)
+    seed_set = (seeds.select(F.col("node")).distinct()
+                .localCheckpoint(eager=True))
     # seeds OUTSIDE the edge list stay in the node set: they hold
     # their teleport share every iteration (no out-edges → dangling,
     # mass not redistributed, same policy as pagerank) instead of
@@ -43,7 +46,8 @@ def trustrank(edges: DataFrame, seeds: DataFrame, src: str = "src",
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .union(seed_set).distinct())
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
+    outdeg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
+              .localCheckpoint(eager=True))
     n_seeds = seed_set.count()
     if n_seeds == 0:
         raise ValueError("trustrank needs a non-empty seed set")
@@ -51,7 +55,8 @@ def trustrank(edges: DataFrame, seeds: DataFrame, src: str = "src",
     init = scale // n_seeds
 
     flagged = nodes.join(
-        seed_set.withColumn("_s", F.lit(True)), "node", "left")
+        seed_set.withColumn("_s", F.lit(True)), "node", "left"
+    ).localCheckpoint(eager=True)
     seed_base = F.when(F.col("_s"), F.lit(base)).otherwise(F.lit(0))
     trust = flagged.select(
         "node", "_s",
