@@ -2900,23 +2900,27 @@ def q_weighted_sample_topk(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's evidence window: the CORRECTNESS
-    gate evaluates the first 50 entries. Round-5 rotation: (1) the 33
-    round-4 additions that landed after the r04 window froze — they
-    have only pytest-oracle evidence, never a driver row; (2) queries
-    new this round (IVF-PQ composition, Rademacher multi-table ANN);
-    (3) queries whose operator code changed this round after their
-    r03/r04 attestation (the _shingle_rows single-pass rewrite touches
-    every minhash consumer; salted_join_hot touches lm_perplexity and
-    boilerplate_lines; the NULL-keep coalesce touches gopher_gate);
-    (4) the oldest still-green r03 attestations as padding. Every
-    entry past 50 carries a green CORRECTNESS_r03/r04 row on code
-    untouched since."""
+    gate evaluates the first 50 entries. Round-6 rotation (minimal —
+    this is the optimization round, every change is
+    result-preserving): the r5 window is kept except that
+    ``quality_repetition`` and ``pagerank_authority`` rotate IN
+    (their operator internals changed this round — the row-local
+    repetition rewrite and the loop-invariant checkpoint pins — so
+    per the window policy they re-attest), displacing
+    ``domain_mixture`` and ``training_shuffle`` (r05-attested, code
+    untouched since) to just past the marker. Round-5 rotation
+    rationale for the rest: (1) the 33 round-4 post-freeze additions;
+    (2) r5's new queries; (3) r5 operator-code changes; (4) oldest
+    r03 attestations as padding. Every entry past 50 carries a green
+    CORRECTNESS_r03/r04/r05 row on code untouched since (except the
+    four post-r5-freeze tail entries, which remain pytest-attested)."""
     return {
         # -- (1) round-4 post-freeze additions: first driver rows --
         "exact_substr_spans": q_exact_substr_spans,
         "hashed_quality_classifier": q_hashed_quality_classifier,
-        "domain_mixture": q_domain_mixture,
-        "training_shuffle": q_training_shuffle,
+        # -- (r6) operator code changed this round: re-attest --
+        "quality_repetition": q_quality_repetition,
+        "pagerank_authority": q_pagerank_authority,
         "cluster_quality_keep": q_cluster_quality_keep,
         "semdedup_prune": q_semdedup_prune,
         "quality_weighted_sample": q_quality_weighted_sample,
@@ -3013,7 +3017,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_quality_pipeline": q_spans_quality_pipeline,
         "url_normalize": q_url_normalize,
         "interleaved_spans_stats": q_interleaved_spans_stats,
-        "quality_repetition": q_quality_repetition,
+        # rotated out of the window this round (r05-attested, code
+        # untouched; displaced by the two re-attesting r6 changes)
+        "domain_mixture": q_domain_mixture,
+        "training_shuffle": q_training_shuffle,
         "tfidf_bm25": q_tfidf_bm25,
         # -- r03-green, code untouched since --
         "range_join": q_range_join,
@@ -3046,7 +3053,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv": q_hll_ndv,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "histogram_quantiles": q_histogram_quantiles,
-        "pagerank_authority": q_pagerank_authority,
         "event_correlation": q_event_correlation,
         # -- (5) new after the round-5 window froze: pytest-oracle
         #    evidence this round, rotate into the window next round --
