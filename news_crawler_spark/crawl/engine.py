@@ -398,9 +398,18 @@ class CrawlEngine:
         staging = os.path.join(self.documents.data_dir,
                                f"staging-{r:08d}-{_uuid.uuid4().hex[:8]}")
         obs = Observation()
+        # the staging files carry `round` and `disposition` as REGULAR
+        # columns and partition on a COPY (`dispo`): the disposition
+        # subdirs are then schema-complete flat parquet that the
+        # resolved table ADOPTS as its round append (append_dir, a
+        # driver-side manifest publish) — the former re-read + rewrite
+        # of all scheduled rows into a second resolved data file was a
+        # full extra Spark job per round
         (fetched
          .withColumn("doc_id", F.col("url"))
          .withColumn("disposition", disposition)
+         .withColumn("round", F.lit(r))
+         .withColumn("dispo", F.col("disposition"))
          .observe(
              obs,
              F.count(F.lit(1)).alias("n"),
@@ -411,7 +420,7 @@ class CrawlEngine:
                  F.lit(0),
              ).alias("ok_xor"),
          )
-         .write.partitionBy("disposition").parquet(staging))
+         .write.partitionBy("dispo").parquet(staging))
         agg = obs.get
         scheduled, n_ok = agg["n"], agg["n_ok"]
         t["fetch_stage_write"] = round(time.perf_counter() - t1, 3)
@@ -433,10 +442,6 @@ class CrawlEngine:
         staged = (self.spark.read.schema(schemas.STAGED)
                   .option("basePath", staging).parquet(staging))
 
-        resolved_rows = staged.select(
-            "url_hash", "url_sha", "url", "host", "seq",
-            F.lit(r).alias("round"), "attempt", "status", "disposition",
-        )
         self._seen_xor ^= int(agg["ok_xor"])
         self._seen_n += n_ok
         self._resolved_n += scheduled
@@ -470,11 +475,15 @@ class CrawlEngine:
         )
 
         # appends are independent (each atomic; the lineage row below is
-        # the round's commit marker) → overlap the two real writes and
-        # the bloom delta-shard build (all read the immutable staging
-        # dir); the documents append adopts the staged ok-partition,
-        # zero copy. New-URL count rides the frontier append as an
-        # Observation — no separate snapshot-delta count job.
+        # the round's commit marker) → overlap the frontier write and
+        # the bloom delta-shard build (both read the immutable staging
+        # dir). The documents AND resolved appends both adopt staged
+        # partitions zero-copy (the files carry round/disposition as
+        # regular columns; reads project each table's schema) — the
+        # resolved table's former 1-job re-read + rewrite per round is
+        # now a driver-side manifest publish. New-URL count rides the
+        # frontier append as an Observation — no separate
+        # snapshot-delta count job.
         t1 = time.perf_counter()
         from concurrent.futures import ThreadPoolExecutor
 
@@ -484,10 +493,9 @@ class CrawlEngine:
             .observe(obs_frontier,
                      F.count(F.when(F.col("attempt") == 0, 1)).alias("n_new"))
         )
-        ok_dir = os.path.join(staging, "disposition=ok")
+        ok_dir = os.path.join(staging, "dispo=ok")
         with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
-                pool.submit(self.resolved.append, resolved_rows),
                 pool.submit(self.frontier.append, frontier_append),
             ]
             blob_fut = (
@@ -498,6 +506,9 @@ class CrawlEngine:
             )
             if os.path.isdir(ok_dir):
                 self.documents.append_dir(ok_dir)
+            self.resolved.append_dir(
+                [p for d in ("ok", "dead", "retry")
+                 if os.path.isdir(p := os.path.join(staging, f"dispo={d}"))])
             for f in futs:
                 f.result()
             blobs = blob_fut.result() if blob_fut is not None else None

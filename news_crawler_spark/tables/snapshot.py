@@ -100,15 +100,17 @@ class SnapshotTable:
         dirs = self._manifest(parent)["dirs"] if parent >= 0 else []
         return self._publish({"id": sid, "parent": parent, "dirs": [*dirs, d]})
 
-    def append_dir(self, path: str) -> int:
-        """Adopt an already-written parquet directory as an append —
-        zero-copy commit (the round's staging write IS the data file;
-        Iceberg's add_files analog). Files may carry extra columns;
-        reads project this table's schema."""
+    def append_dir(self, path: str | list[str]) -> int:
+        """Adopt one or more already-written parquet directories as a
+        single append — zero-copy commit (the round's staging write IS
+        the data file; Iceberg's add_files analog). Files may carry
+        extra columns; reads project this table's schema."""
+        paths = [path] if isinstance(path, str) else list(path)
         parent = self.current_snapshot()
         sid = parent + 1
         dirs = self._manifest(parent)["dirs"] if parent >= 0 else []
-        return self._publish({"id": sid, "parent": parent, "dirs": [*dirs, path]})
+        return self._publish({"id": sid, "parent": parent,
+                              "dirs": [*dirs, *paths]})
 
     _PA_TYPES = {
         "integer": "int32", "long": "int64", "string": "string",
