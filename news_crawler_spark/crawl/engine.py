@@ -488,8 +488,19 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         obs_frontier = Observation()
+        # REBALANCE (AQE advisory-size repartition) before the write:
+        # in the mid-crawl steady state nearly every candidate is
+        # already known, so without it the append writes one
+        # NEAR-EMPTY file per upstream task per round — and every
+        # subsequent frontier.read() pays listing + footer reads for
+        # all of them (measured as a late-round throughput decay that
+        # hits the high-parallelism level hardest: more tasks → more
+        # empty files). In discovery-heavy rounds the same hint splits
+        # the write to advisory-sized files instead — the guide's §6
+        # output-sizing recommendation, scale-adaptive by construction.
         frontier_append = (
             candidates.unionByName(retry_rows)
+            .hint("rebalance")
             .observe(obs_frontier,
                      F.count(F.when(F.col("attempt") == 0, 1)).alias("n_new"))
         )
