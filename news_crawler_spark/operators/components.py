@@ -45,17 +45,31 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    Output orientation is (src > dst) with no self-loops BY
+    CONSTRUCTION: each emitted row is (dst, least(src, _mn)) under the
+    ``dst > src`` filter, and least(src, _mn) <= src < dst — so the
+    full ``_canon`` here reduces to a pure duplicate-elimination pass.
+    ``dedup=False`` skips that exchange: the following small-star's
+    groupBy-min is duplicate-insensitive and its own trailing
+    ``_canon`` dedups the round's final edge set, so the edge SET (and
+    the convergence digest, which is computed after that final canon)
+    is identical either way. Used on small graphs, where one fewer
+    aggregation exchange per round is a measurable share of the
+    round's sequential stage-job latency; large graphs keep the dedup
+    so duplicate (u, min) rows never fan through the next join."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     m = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
-    return _canon(
+    out = (
         sym.join(m, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"),
                 F.least("src", "_mn").alias("dst"))
     )
+    return out.dropDuplicates() if dedup else out
 
 
 def _small_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
@@ -63,8 +77,9 @@ def _small_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
 
     ``canonical=True`` skips the input re-canonicalization (one
     dedup aggregation pass) when the caller guarantees ``edges`` is
-    already in (src > dst, distinct) form — true for every
-    ``_large_star`` output."""
+    already (src > dst)-oriented with no self-loops — true for every
+    ``_large_star`` output (duplicate rows are fine: the groupBy-min
+    is duplicate-insensitive and the trailing ``_canon`` dedups)."""
     e = edges if canonical else _canon(edges)  # src > dst
     m = e.groupBy("src").agg(F.min("dst").alias("_mn"))
     with_min = e.join(m, "src")
@@ -129,7 +144,8 @@ def connected_components(edges: DataFrame, src: str = "src",
             # _large_star output is canonical, so the small-star pass
             # skips its re-canonicalization aggregation
             nxt, nxt_digest = _ckpt_with_digest(
-                _small_star(_large_star(cur), canonical=True))
+                _small_star(_large_star(cur, dedup=not small_graph),
+                            canonical=True))
             cur = nxt
             if nxt_digest == digest:
                 converged = True
@@ -171,6 +187,8 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
     document — singletons are their own canon. This is the keep-list a
     training pipeline consumes: keep ``is_canonical``, drop the rest.
     """
+    from pyspark.sql import Window
+
     cc = connected_components(pairs, src=a_col, dst=b_col)
     lab = (
         docs.select(id_col)
@@ -178,9 +196,19 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
         .select(F.col(id_col),
                 F.coalesce("component", F.col(id_col)).alias("canon_id"))
     )
-    sizes = lab.groupBy("canon_id").agg(F.count("*").alias("cluster_size"))
+    # cluster_size as a count window over canon_id, NOT a
+    # groupBy+join-back: the join form re-executed the whole docs⋈cc
+    # label subtree on BOTH join sides (Spark has no common-subplan
+    # reuse across join inputs) and paid two exchanges; the window
+    # computes labels once behind a single canon_id exchange. Bonus:
+    # consumers that drop cluster_size (training_pipeline keeps only
+    # is_canonical) get the window pruned by Catalyst and skip the
+    # exchange entirely, and consumers that re-window on canon_id
+    # (cluster_quality_keep) reuse the partitioning.
+    w = Window.partitionBy("canon_id")
     return (
-        lab.join(sizes, "canon_id")
-        .select(id_col, "canon_id", "cluster_size",
-                (F.col(id_col) == F.col("canon_id")).alias("is_canonical"))
+        lab.select(
+            id_col, "canon_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            (F.col(id_col) == F.col("canon_id")).alias("is_canonical"))
     )

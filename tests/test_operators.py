@@ -675,6 +675,49 @@ def test_connected_components_planted_and_random(spark):
     assert out[3] == (3, 1, True)
 
 
+def test_large_star_dedup_skip_invariants(spark):
+    """r6 optimization contract: _large_star(dedup=False) must emit
+    the same edge SET as dedup=True (only duplicate multiplicity may
+    differ), already (src > dst)-oriented with no self-loops — the
+    properties the small-graph fast path in connected_components
+    relies on to skip the intermediate dedup exchange."""
+    import random
+
+    from news_crawler_spark.operators.components import _canon, _large_star
+
+    rng = random.Random(13)
+    pairs = sorted({tuple(sorted(rng.sample(range(40), 2)))
+                    for _ in range(70)})
+    edges = _canon(spark.createDataFrame(pairs, "src long, dst long"))
+    with_dedup = {(r.src, r.dst) for r in _large_star(edges).collect()}
+    rows = _large_star(edges, dedup=False).collect()
+    no_dedup = {(r.src, r.dst) for r in rows}
+    assert no_dedup == with_dedup
+    assert all(r.src > r.dst for r in rows)  # oriented, no self-loops
+
+
+def test_dedup_clusters_window_sizes_match_group_counts(spark):
+    """r6 optimization contract: cluster_size from the canon_id count
+    window must equal the old groupBy-count-join-back values for a
+    graph with multi-node clusters, chains and singletons."""
+    from collections import Counter
+
+    from news_crawler_spark.operators.components import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    cand = spark.createDataFrame(
+        [(0, 5), (5, 7), (1, 2), (8, 9), (9, 10), (10, 8)],
+        "id_a long, id_b long")
+    rows = dedup_clusters(docs, cand).collect()
+    assert len(rows) == 12
+    sizes = Counter(r.canon_id for r in rows)
+    for r in rows:
+        assert r.cluster_size == sizes[r.canon_id]
+        assert r.is_canonical == (r.doc_id == r.canon_id)
+    assert sizes[0] == 3 and sizes[1] == 2 and sizes[8] == 3
+    assert sum(1 for r in rows if r.cluster_size == 1) == 4
+
+
 def test_winnowing_guarantees_containment_overlap(spark):
     """Winnowing guarantee: a shared token run of >= w+k-1 tokens
     shares at least one fingerprint; a contained copy shares most."""
