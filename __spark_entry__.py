@@ -1165,23 +1165,45 @@ def q_bigram_collocations(spark, sf_dir):
     ranking is exact integer arithmetic both engines replay
     bit-for-bit (magnitudes bounded: needs n_total² · 10³ < 2⁶³,
     i.e. corpora under ~3e9 tokens; shard the count tables past
-    that). Bigrams come from the posexplode+lead trick (one Generate,
-    no HOF re-evaluation — the dedup-shingle lesson); counts are
+    that). Bigrams come from a row-local zip_with over the pinned
+    token array (one Generate, no HOF re-evaluation, no per-token
+    window shuffle — the dedup-shingle lesson); counts are
     map-side-combinable groupBys; the final top-30 is
     orderBy+limit."""
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents")
-    tok = (docs.select(
+    # r6: the corpus was tokenized FOUR times (n_total, the two uni
+    # join sides, and the bigram window) and the bigram pass shuffled
+    # + sorted every token row for a lead() window. Now the filtered
+    # token array is pinned ONCE behind a Generate barrier
+    # (localCheckpoint — blocks release with the df), bigrams are a
+    # row-local zip_with of the array with its own tail (identical
+    # multiset: lead over pos == adjacent-in-filtered-array), uni is
+    # pinned (vocab-sized) for its two join sides, and n_total is the
+    # exact integer sum of uni counts.
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda x: F.length(x) >= 2)
+    staged = (docs.select(
         F.col("doc_id"),
-        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-        .alias("pos", "w"))
-        .filter(F.length("w") >= 2))
-    w_next = Window.partitionBy("doc_id").orderBy("pos")
-    big = (tok.withColumn("w2", F.lead("w").over(w_next))
-           .where(F.col("w2").isNotNull()))
-    n_total = tok.groupBy().agg(F.count("*").alias("n_total"))
-    uni = tok.groupBy("w").agg(F.count("*").alias("n_w"))
+        F.explode(F.array(F.struct(toks.alias("t")))).alias("_tk"))
+        .filter(F.col("_tk").getField("t").isNotNull())
+        .localCheckpoint(eager=True))
+    tok = staged.select(
+        "doc_id", F.explode(F.col("_tk").getField("t")).alias("w"))
+    big = (staged.select(
+        F.expr("explode(zip_with("
+               "slice(_tk.t, 1, greatest(size(_tk.t) - 1, 0)), "
+               "slice(_tk.t, 2, greatest(size(_tk.t) - 1, 0)), "
+               "(a, b) -> named_struct('w', a, 'w2', b)))").alias("_bg"))
+        # coalesce is a schema-only fix: zip_with struct fields are
+        # nullable while the old posexplode tokens were not; no w is
+        # ever NULL (split elements are non-null), so values are
+        # untouched and the output schema keeps w non-nullable
+        .select(F.coalesce(F.col("_bg.w"), F.lit("")).alias("w"),
+                F.col("_bg.w2").alias("w2")))
+    uni = (tok.groupBy("w").agg(F.count("*").alias("n_w"))
+           .localCheckpoint(eager=True))
+    n_total = uni.agg(
+        F.coalesce(F.sum("n_w"), F.lit(0).cast("long")).alias("n_total"))
     pair = (big.groupBy("w", "w2").agg(F.count("*").alias("n_xy"))
             .where(F.col("n_xy") >= 5))
     scored = (

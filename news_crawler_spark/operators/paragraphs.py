@@ -71,7 +71,15 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     fingerprint — deterministic, engine-independent, and exactly the
     serial "keep the first time you see it" semantics.
     """
-    paras = paragraph_rows(df, text_col, id_col, sep)
+    # paras feeds both the witness groupBy and the join-back left side
+    # — Spark has no common-subplan reuse across join inputs, so
+    # without the pin the corpus explode + per-paragraph sha256 ran
+    # TWICE. localCheckpoint (not persist): blocks release with the
+    # df. The witness stays a groupBy + equi-join back (NOT a window
+    # over fp): hot boilerplate fingerprints are the skew case and
+    # AQE skew-join splitting only covers joins.
+    paras = paragraph_rows(df, text_col, id_col, sep).localCheckpoint(
+        eager=True)
     witness = paras.groupBy("fp").agg(F.min("okey").alias("wkey"))
     flagged = (
         paras.join(witness, "fp")
@@ -132,7 +140,9 @@ def span_dedup(documents: DataFrame, id_col: str = "doc_id",
         F.col("s.offset").alias("offset"),
         F.sha2(key, 256).alias("fp"),
         (F.col(id_col) * POS_BASE + F.col("s.offset")).alias("okey"),
-    )
+    ).localCheckpoint(eager=True)  # feeds witness AND join-back: pin
+    # so the span explode + sha256 run once (same note as
+    # paragraph_dedup above)
     witness = flat.groupBy("fp").agg(F.min("okey").alias("wkey"))
     flagged = (
         flat.join(witness, "fp")

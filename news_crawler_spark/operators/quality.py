@@ -233,14 +233,23 @@ def lm_cross_entropy(df: DataFrame, text_col: str = "text",
     from news_crawler_spark.operators.topk import salted_join_hot
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tok = df.select(F.col(id_col), F.explode(toks).alias("w1"))
+    # the corpus is consumed by FOUR subtrees (unigram counts, vocab,
+    # bigram counts, and the scoring join's own bigram rows) and Spark
+    # re-executes a subtree per consumer — pin the tokenized corpus
+    # ONCE (token array per doc, behind the Generate barrier) so the
+    # scan + split run once instead of four times. localCheckpoint,
+    # not persist: blocks release with the df.
+    staged = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.struct(toks.alias("t")))).alias("_tk")
+    ).filter(F.col("_tk").getField("t").isNotNull()
+             ).localCheckpoint(eager=True)
+    tok = staged.select(
+        F.col(id_col), F.explode(F.col("_tk").getField("t")).alias("w1"))
     # bigrams as a zip_with of the token array with its own tail —
     # same (id, w1, w2) multiset as the old lead()-window form without
     # shuffling and sorting every token row first
-    staged = df.select(
-        F.col(id_col),
-        F.explode(F.array(F.struct(toks.alias("t")))).alias("_tk"))
-    bg = (staged.filter(F.col("_tk").getField("t").isNotNull())
+    bg = (staged
           .select(
               F.col(id_col),
               F.expr(
@@ -250,9 +259,14 @@ def lm_cross_entropy(df: DataFrame, text_col: str = "text",
                   "(a, b) -> named_struct('w1', a, 'w2', b)))").alias("_bg"))
           .select(id_col, F.col("_bg.w1").alias("w1"),
                   F.col("_bg.w2").alias("w2")))
-    uni = tok.groupBy("w1").agg(F.count("*").alias("_cu"))
+    # uni feeds both the salted scoring join and the vocab constant —
+    # pin it (vocab-sized) and read the vocab size off its row count
+    # (countDistinct(w1) over tokens == number of distinct unigrams,
+    # exact integer either way)
+    uni = (tok.groupBy("w1").agg(F.count("*").alias("_cu"))
+           .localCheckpoint(eager=True))
     big = bg.groupBy("w1", "w2").agg(F.count("*").alias("_cb"))
-    vocab = tok.agg(F.countDistinct("w1").alias("_v"))
+    vocab = uni.agg(F.count("*").alias("_v"))
     logp = F.log((F.col("_cb") + 1) / (F.col("_cu") + F.col("_v")))
     scored = salted_join_hot(bg.join(big, ["w1", "w2"]), uni,
                              key="w1", freq_col="_cu",
@@ -289,14 +303,21 @@ def boilerplate_profile(df: DataFrame, text_col: str = "text",
     unsalted; result multiset equals the plain join)."""
     from news_crawler_spark.operators.topk import salted_join_hot
 
+    # lines feeds the join's big side AND (via doc_counts) the salted
+    # join's hot-key probe and small side — salted_join_hot references
+    # its small side twice and the big side once, so without the pins
+    # the corpus line-explode+dedup executed THREE times. Pin both
+    # (localCheckpoint — blocks release with the df).
     lines = (
         df.select(F.col(id_col),
                   F.explode(F.split(F.col(text_col), "\n")).alias("_raw"))
         .select(id_col, F.trim("_raw").alias("line"))
         .filter(F.col("line") != "")
         .dropDuplicates([id_col, "line"])
+        .localCheckpoint(eager=True)
     )
-    doc_counts = lines.groupBy("line").agg(F.count("*").alias("_ndocs"))
+    doc_counts = (lines.groupBy("line").agg(F.count("*").alias("_ndocs"))
+                  .localCheckpoint(eager=True))
     return (
         salted_join_hot(lines, doc_counts, key="line", freq_col="_ndocs",
                         salt_src=id_col, n_salts=8)
@@ -389,8 +410,17 @@ def bm25_scores(df: DataFrame, text_col: str = "text",
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok = df.select(F.col(id_col), F.explode(toks).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # tf is consumed by three subtrees (the join side, df-per-term,
+    # and dl/corpus constants) and Spark has no common-subplan reuse
+    # across join inputs — without the pin the tokenize+explode+
+    # groupBy ran once per consumer (4 corpus scans total).
+    # localCheckpoint, not persist: blocks release with the df.
+    tf = (tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
+    # dl from tf, not from a second explode pass: the per-doc token
+    # count is exactly the sum of its per-term counts (long + long,
+    # bit-identical to the old count over the token rows)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
     g = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     # dft is NOT broadcast-hinted: the term dictionary grows with the
