@@ -787,6 +787,9 @@ def q_incremental_dedup(spark, sf_dir):
     # text verbatim (doc_id - 1 is always even = corpus side)
     donor = docs.select((F.col("doc_id") + 1).alias("doc_id"),
                         F.col("text").alias("_dtext"))
+    # the synthesized table feeds FOUR subtrees (corpus/batch
+    # fingerprints + corpus/batch signatures) — pin it once so the
+    # donor self-join and its two scans don't re-execute per consumer
     docs = (
         docs.join(donor, "doc_id", "left")
         .select(
@@ -795,6 +798,7 @@ def q_incremental_dedup(spark, sf_dir):
                    & F.col("_dtext").isNotNull(), F.col("_dtext"))
             .otherwise(F.col("text")).alias("text"),
         )
+        .localCheckpoint(eager=True)
     )
     corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)

@@ -39,8 +39,18 @@ def hits_scores(edges: DataFrame, iterations: int = 2,
     sinks (no out-edges). Callers rank by ``auth`` (NULLS LAST, ties
     on node id) for a deterministic top-k.
     """
+    # r6: every normalization references its raw score table TWICE
+    # (the 1-row max aggregate AND the normalize projection), and each
+    # iteration's join references the edge list and the prior half-
+    # iteration — without pins the duplication COMPOUNDS per
+    # iteration (the lazy plan re-executes the edge join 2^k-ish
+    # times). Pin the edge list once and each half-iteration's raw
+    # sum table (eager localCheckpoint — node-sized, released by the
+    # ContextCleaner); every double-reference then reads a pinned RDD.
+    # Scores are unchanged: checkpointing moves no arithmetic, and the
+    # 6-dp rounding already makes the trajectory engine-exact.
     e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst"))
+                     F.col(dst_col).alias("dst")).localCheckpoint(eager=True)
     hub = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -52,6 +62,7 @@ def hits_scores(edges: DataFrame, iterations: int = 2,
         a_raw = (
             e.join(hub, e.src == hub.node)
             .groupBy("dst").agg(F.sum("h").alias("ar"))
+            .localCheckpoint(eager=True)
         )
         a_max = a_raw.agg(F.max("ar").alias("am"))
         auth = (
@@ -63,6 +74,7 @@ def hits_scores(edges: DataFrame, iterations: int = 2,
         h_raw = (
             e.join(auth, e.dst == auth.node)
             .groupBy("src").agg(F.sum("a").alias("hr"))
+            .localCheckpoint(eager=True)
         )
         h_max = h_raw.agg(F.max("hr").alias("hm"))
         hub = (
