@@ -62,6 +62,9 @@ def resolve_redirects(edges: DataFrame, src_col: str = "src",
 
     state = e.select("url", "ptr", F.lit(1).cast("long").alias("hops"))
     state = state.localCheckpoint(eager=True)
+    # the terminal test needs the src set — read it off the PINNED
+    # initial state rather than re-executing e's scan + groupBy
+    init = state
     for _ in range(max_rounds):
         jump = state.select(F.col("url").alias("_jurl"),
                             F.col("ptr").alias("_jptr"),
@@ -76,7 +79,7 @@ def resolve_redirects(edges: DataFrame, src_col: str = "src",
             .localCheckpoint(eager=True)
         )
     # terminal test: the final pointer has no outgoing redirect
-    srcs = e.select(F.col("url").alias("_s"), F.lit(True).alias("_in"))
+    srcs = init.select(F.col("url").alias("_s"), F.lit(True).alias("_in"))
     return (
         state.join(srcs, state.ptr == srcs._s, "left")
         .select(
